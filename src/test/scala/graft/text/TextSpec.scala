@@ -1,0 +1,79 @@
+package graft.text
+
+import scala.io.Source
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+
+/** Golden tests for the reference-exact text pipeline.
+  *
+  * The goldens in src/test/resources were produced by running the SAME
+  * inputs through the COMPILED REFERENCE classes
+  * (cis5550.jobs.Indexer term counting via reflection +
+  * cis5550.external.PorterStemmer) out-of-repo — so these tests pin our
+  * pure-Scala reimplementation to the reference's actual behavior, including
+  * the stem-overwrite boost quirk and HashMap tag order.
+  *
+  *  - porter_golden.tsv: 14,540 (word, stem) pairs — the full reference
+  *    lexicon + adversarial suffix cases + 5k random strings.
+  *  - termcounts_input.tsv / termcounts_golden.tsv: 69 pages (60 synthetic
+  *    corpus pages at seed 42 + 9 adversarial pages) → term:count maps.
+  */
+class TextSpec extends AnyFunSuite {
+
+  private def resource(name: String): Iterator[String] =
+    Source.fromInputStream(getClass.getResourceAsStream(s"/$name"), "UTF-8").getLines()
+
+  private def unesc(s: String): String =
+    s.replace("\\t", "\t").replace("\\r", "\r").replace("\\n", "\n").replace("\\\\", "\\")
+
+  test("Porter stemmer is byte-identical to the reference on 14,540 words") {
+    var n = 0
+    resource("porter_golden.tsv").foreach { line =>
+      val Array(w, expected) = line.split("\t", 2)
+      assert(PorterStemmer.stem(w) == expected, s"stem($w)")
+      n += 1
+    }
+    assert(n == 14540)
+  }
+
+  test("termCounts matches the reference Indexer on corpus + adversarial pages") {
+    val lexicon = resource("lexicon.txt").toSet
+    val inputs = resource("termcounts_input.tsv").map { line =>
+      val Array(u, h) = line.split("\t", 2); (unesc(u), unesc(h))
+    }.toVector
+    val goldens = resource("termcounts_golden.tsv").map { line =>
+      val parts = line.split("\t", 2)
+      val counts =
+        if (parts.length < 2 || parts(1).isEmpty) Map.empty[String, Int]
+        else parts(1).split(",").map { kv =>
+          val i = kv.lastIndexOf(':')
+          kv.substring(0, i) -> kv.substring(i + 1).toInt
+        }.toMap
+      unesc(parts(0)) -> counts
+    }.toMap
+    assert(inputs.size == 69)
+    for ((url, html) <- inputs) {
+      val got = Text.termCounts(url, html, lexicon).toMap
+      assert(got == goldens(url), s"termCounts($url)")
+    }
+  }
+
+  test("corpus text column is byte-identical to the reference extractor") {
+    // `text` is generated via Text.extractText (the reference regex
+    // jobs/Indexer.java:52); verify round-trip through UTF-8 bytes.
+    for (p <- Corpus.generateLocal(50)) {
+      val extracted = Text.extractText(new String(p.html, "UTF-8"))
+      assert(extracted.getBytes("UTF-8").sameElements(p.text.getBytes("UTF-8")), p.url)
+    }
+  }
+
+  test("tokenizer edge cases") {
+    assert(Text.splitWords("") sameElements Array(""))
+    assert(Text.isValidNumber(""))
+    assert(Text.isValidNumber("999") && !Text.isValidNumber("1000"))
+    assert(Text.isValidWord("") && Text.isValidWord("abc") && !Text.isValidWord("a1"))
+    assert(Text.isPureAscii("abc") && !Text.isPureAscii("café"))
+    assert(Text.parseQuery(" The,GALAXY-engine ") == Seq("the", "galaxy", "engine"))
+    assert(Text.parseQuery("") == Seq.empty)
+  }
+}
