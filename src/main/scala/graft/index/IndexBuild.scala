@@ -1,0 +1,178 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.corpus.Page
+import graft.text.Text
+
+/** docId → url map entry; `dl` = document length (sum of boosted term
+  * counts — the "length" the BM25 path normalizes by). */
+final case class DocMeta(doc_id: Long, url: String, dl: Long)
+
+/** Intermediate posting (pre-compression). */
+final case class TermPosting(term: String, doc_id: Long, tf: Int)
+
+/** Dictionary row: df + max raw tf per term. maxtf is all the state needed
+  * to recompute the reference tf-normalization `0.4 + 0.6*tf/maxtf`
+  * (reference jobs/Indexer.java:88,118) exactly at query time, so posting
+  * blocks can store raw int tfs (varbyte-friendly) instead of doubles. */
+final case class DictEntry(term: String, df: Long, max_tf: Int)
+
+/** One compressed posting block.
+  *
+  * Blocks of one term are totally ordered by (part_id asc, seq asc), and that
+  * order IS the reference's serving order (tf desc, url asc): the build
+  * range-partitions + sorts postings by (term asc, tf desc, doc_id asc) and
+  * cuts blocks along that order, and doc_id asc ≡ url asc by construction.
+  * Inside a block, postings are re-sorted by doc_id so ids delta+varbyte
+  * compress; decoding re-sorts by (tf desc, doc_id asc) to restore serving
+  * order (block boundaries make that a pure local operation).
+  *
+  * `max_tf` is the block-max metadata (first posting's tf in serving order)
+  * driving early termination in the impact-ordered top-k path.
+  */
+final case class PostingBlock(term: String, part_id: Int, seq: Int, n: Int,
+                              max_tf: Int, docs_vb: Array[Byte], tfs_vb: Array[Byte])
+
+final case class BuiltIndex(docs: Dataset[DocMeta],
+                            dictionary: Dataset[DictEntry],
+                            blocks: Dataset[PostingBlock])
+
+/** Distributed inverted-index build (SURVEY.md §7.2 step 4).
+  *
+  * Scale design (the 100 TB story, tested at local[32]):
+  *  - ONE full shuffle of the page data: `repartitionByRange(url)` +
+  *    in-partition sort. Everything downstream (doc ids, tokenization) rides
+  *    that partitioning. In production this layout is the ingested table
+  *    itself (url-range-partitioned Iceberg layout), making the shuffle a
+  *    one-time ingest cost.
+  *  - Dense deterministic doc ids WITHOUT a single-reducer global sort:
+  *    per-partition counts (one cheap action over the persisted ranged data)
+  *    → prefix-sum offsets broadcast → id = offset + local index. Ids are
+  *    reproducible at any parallelism because the url order is total.
+  *  - Head-term skew (Zipf "the" ≈ every doc) never concentrates on one
+  *    task: postings are range-partitioned on (term, tf desc, doc_id), so a
+  *    hot term's postings SPAN partitions — the range partitioner's sampling
+  *    splits inside the term — while block order still reconstructs the
+  *    global serving order. This replaces a groupBy(term) that would OOM on
+  *    head terms (the reference's foldByKey does exactly that and its run
+  *    logs show the OOM crashes, SURVEY.md §4.2).
+  *  - Dictionary agg (df, max_tf) is a map-side-combining groupBy: partial
+  *    aggregation defuses skew because combiners shrink hot keys to one row
+  *    per task before the shuffle.
+  *  - The dictionary is small by construction (lexicon-bounded term space:
+  *    ~10k words + stems + ≤3-digit numbers) ⇒ broadcastable at any corpus
+  *    scale; posting blocks are the only large artifact.
+  */
+object IndexBuild {
+
+  /** Number of postings per compressed block. 4096 > the reference's 200-cap
+    * ⇒ the per-term top-200 serving path decodes exactly one block. */
+  val DefaultBlockSize = 4096
+
+  def build(spark: SparkSession, pages: Dataset[Page], lexicon: Set[String],
+            parts: Int = 32, blockSize: Int = DefaultBlockSize): BuiltIndex = {
+    import spark.implicits._
+    val lex = spark.sparkContext.broadcast(lexicon)
+
+    // --- stage 1: url-range layout (the one full shuffle) ---
+    val ranged = pages
+      .repartitionByRange(parts, $"url")
+      .sortWithinPartitions($"url")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- stage 2: per-partition counts → doc-id offsets ---
+    val partCounts = ranged.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = {
+      val m = new Array[Long](parts)
+      var acc = 0L
+      for ((pid, c) <- partCounts) { m(pid) = acc; acc += c }
+      m
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+
+    // --- stage 3: tokenize once; emit postings + doc metadata ---
+    val withCounts = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var local = 0L
+      it.map { p =>
+        val id = offB.value(pid) + local
+        local += 1
+        val counts = Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+        (id, p.url, counts.toSeq)
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK) // tokenize once, feed docs+postings
+
+    val docs = withCounts.map { case (id, url, counts) =>
+      DocMeta(id, url, counts.iterator.map(_._2.toLong).sum)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val postings = withCounts.flatMap { case (id, _, counts) =>
+      counts.iterator.collect {
+        // >100-char term guard, reference jobs/Indexer.java:98-100
+        case (term, tf) if term.length <= 100 => TermPosting(term, id, tf)
+      }
+    }
+
+    // --- stage 4: dictionary (map-side combine, skew-free) ---
+    val dictionary = postings
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), max($"tf").as("max_tf"))
+      .as[DictEntry]
+
+    // --- stage 5: impact-ordered compressed blocks ---
+    // Range partition on the full serving order: hot terms span partitions.
+    val blocks = postings
+      .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
+      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
+      .mapPartitions { it => encodeBlocks(it, blockSize) }
+
+    BuiltIndex(docs, dictionary, blocks)
+  }
+
+  /** Cut a partition's (term, tf desc, doc asc)-sorted posting stream into
+    * compressed blocks of ≤ blockSize postings per term run. */
+  private[index] def encodeBlocks(it: Iterator[TermPosting],
+                                  blockSize: Int): Iterator[PostingBlock] = {
+    val pid = TaskContext.getPartitionId()
+    new Iterator[PostingBlock] {
+      private val buf = it.buffered
+      private var curTerm: String = null
+      private var blockSeq = 0
+      def hasNext: Boolean = buf.hasNext
+      def next(): PostingBlock = {
+        val head = buf.head
+        if (head.term != curTerm) { curTerm = head.term; blockSeq = 0 }
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
+        val tfs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
+        var maxTf = Int.MinValue
+        while (buf.hasNext && buf.head.term == curTerm && ids.length < blockSize) {
+          val p = buf.next()
+          ids += p.doc_id; tfs += p.tf
+          if (p.tf > maxTf) maxTf = p.tf
+        }
+        // re-sort by doc_id for delta coding; serving order is recoverable
+        // because doc_id asc ≡ url asc within equal tf (see PostingBlock doc)
+        val order = ids.indices.sortBy(ids(_))
+        val sortedIds = order.map(ids(_)).toArray
+        val sortedTfs = order.map(tfs(_)).toArray
+        val b = PostingBlock(curTerm, pid, blockSeq, sortedIds.length, maxTf,
+          Varbyte.encodeDeltas(sortedIds), Varbyte.encodeInts(sortedTfs))
+        blockSeq += 1
+        b
+      }
+    }
+  }
+
+  /** Decode a block back to (doc_id, tf) in SERVING order (tf desc, doc asc). */
+  def decodeBlock(b: PostingBlock): Array[(Long, Int)] = {
+    val ids = Varbyte.decodeDeltas(b.docs_vb, b.n)
+    val tfs = Varbyte.decodeInts(b.tfs_vb, b.n)
+    val arr = Array.tabulate(b.n)(i => (ids(i), tfs(i)))
+    arr.sortBy { case (id, tf) => (-tf, id) }
+  }
+}

@@ -1,0 +1,192 @@
+package graft.query
+
+import scala.collection.mutable
+import org.apache.spark.sql.SparkSession
+import graft.index.{BuiltIndex, DictEntry, IndexBuild, PostingBlock}
+import graft.text.{PorterStemmer, Text}
+
+/** Query-time retrieval over the built index artifacts.
+  *
+  * Mirrors the reference's serving split (Flame builds tables, Backend serves
+  * them without touching Flame — reference backend/Backend.java): Spark is
+  * the BUILD engine; per-query top-k runs driver-side over the compact
+  * artifacts with no Spark job per query, which is what makes p95 latency a
+  * property of the index layout instead of job-scheduling overhead.
+  *
+  * Memory story at scale: the dictionary is lexicon-bounded (small at any
+  * corpus size); posting blocks are fetched per term — here from an in-heap
+  * map, in production from the blocks table via min/max-pruned parquet point
+  * range scans keyed by term (blocks are written term-sorted) — and the
+  * reference path touches at most ceil(200/blockSize)+1 blocks per term.
+  *
+  * Two scorers:
+  *  - [[referenceTopK]] — the rank-identity scorer, replicating
+  *    backend/Backend.java:40-139,205-330,333-410 exactly (int-division
+  *    log500 idf, idf==0 drop, 0.7 stem discount, per-term 200-posting cap,
+  *    TreeMap url-asc ties, stable desc sort, top-200).
+  *  - [[bm25TopK]] — the performance scorer: standard BM25(k1,b) over the
+  *    impact-ordered blocks with block-max early termination (Anh–Moffat
+  *    style impact ordering; the block-max bound plays the WAND θ role).
+  */
+final class Searcher(val n: Int,
+                     dict: Map[String, DictEntry],
+                     blocksByTerm: Map[String, IndexedSeq[PostingBlock]],
+                     urlOf: Long => String,
+                     dlOf: Long => Long,
+                     avgdl: Double,
+                     numDocs: Long) {
+
+  // ---------------------------------------------------------------- reference
+  /** Rank-identical reference scorer. Returns (url, score), ≤200 rows. */
+  def referenceTopK(query: String): List[(String, Double)] = {
+    val surface = Text.parseQuery(query)
+    val expanded: Seq[(String, Boolean)] =
+      surface.map(t => (t, false)) ++
+        surface.flatMap { t =>
+          val s = PorterStemmer.stem(t)
+          if (s != t) Some((s, true)) else None
+        }
+
+    val tfidfMap = mutable.LinkedHashMap.empty[String, IndexedSeq[(Long, Double)]]
+    for ((term, isStem) <- expanded if term.nonEmpty) {
+      val list = termTfidf(term, isStem)
+      if (list.nonEmpty) tfidfMap.put(term, list)
+    }
+    if (tfidfMap.isEmpty) return Nil
+
+    val combined = mutable.TreeMap.empty[String, Double]
+    for ((_, list) <- tfidfMap; (docId, tfidf) <- list) {
+      val url = urlOf(docId)
+      combined.update(url, combined.getOrElse(url, 0.0) + 1.0 * tfidf)
+    }
+    combined.toList.sortBy { case (_, s) => -s }.take(200)
+  }
+
+  /** Per-term (docId, tfidf) in serving order, ≤200 — Backend.getTFIDF. */
+  private def termTfidf(term: String, isStem: Boolean): IndexedSeq[(Long, Double)] = {
+    val stemFactor = if (isStem) 0.7 else 1.0
+    dict.get(term) match {
+      case None => IndexedSeq.empty
+      case Some(d) =>
+        val idf = math.log((n / d.df).toDouble) / math.log(500.0) // Java int division
+        if (idf == 0.0) return IndexedSeq.empty
+        val out = mutable.ArrayBuffer.empty[(Long, Double)]
+        val blocks = blocksByTerm.getOrElse(term, IndexedSeq.empty)
+        var bi = 0
+        while (bi < blocks.length && out.length < 200) {
+          val decoded = IndexBuild.decodeBlock(blocks(bi))
+          var i = 0
+          while (i < decoded.length && out.length < 200) {
+            val (docId, tf) = decoded(i)
+            val tfn = 0.4 + 0.6 * tf / d.max_tf // exact reference double math
+            out += ((docId, tfn * idf * stemFactor))
+            i += 1
+          }
+          bi += 1
+        }
+        out.toIndexedSeq
+    }
+  }
+
+  // --------------------------------------------------------------------- BM25
+  /** Standard BM25 top-k with block-max early termination over the
+    * impact-ordered blocks. Safe stop rule: processing blocks in impact
+    * order per term, any doc's best reachable score is its accumulated
+    * score + the sum of remaining per-term upper bounds; terminate when that
+    * cannot beat the current k-th best. */
+  def bm25TopK(query: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): List[(String, Double)] = {
+    val terms = (Text.parseQuery(query).toSet.flatMap { (t: String) =>
+      Set(t, PorterStemmer.stem(t))
+    }).toSeq.sorted.filter(dict.contains)
+    if (terms.isEmpty) return Nil
+
+    final case class TermState(term: String, idf: Double,
+                               blocks: IndexedSeq[PostingBlock], var next: Int) {
+      // upper bound of this term's contribution for any unseen posting
+      def bound: Double =
+        if (next >= blocks.length) 0.0
+        else contribution(idf, blocks(next).max_tf, 0L) // dl→0 maximizes
+    }
+    def contribution(idf: Double, tf: Int, dl: Long): Double =
+      idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    val states = terms.map { t =>
+      val d = dict(t)
+      val idf = math.log((numDocs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      TermState(t, idf, blocksByTerm.getOrElse(t, IndexedSeq.empty), 0)
+    }.toArray
+
+    val acc = mutable.HashMap.empty[Long, Double]
+    var iter = 0
+    var done = false
+    while (!done) {
+      // process the highest-bound pending block (impact order across terms)
+      var best = -1; var bestBound = 0.0
+      var i = 0
+      while (i < states.length) {
+        val bd = states(i).bound
+        if (bd > bestBound) { bestBound = bd; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        val st = states(best)
+        val blk = st.blocks(st.next)
+        st.next += 1
+        for ((docId, tf) <- IndexBuild.decodeBlock(blk)) {
+          val c = contribution(st.idf, tf, dlOf(docId))
+          acc.update(docId, acc.getOrElse(docId, 0.0) + c)
+        }
+        iter += 1
+        // early termination check every few blocks
+        if (acc.size >= k && iter % 4 == 0) {
+          val remaining = states.iterator.map(_.bound).sum
+          if (remaining > 0) {
+            val kth = acc.valuesIterator.toArray.sorted(Ordering[Double].reverse)
+              .take(k).lastOption.getOrElse(0.0)
+            // any doc (seen or unseen) can still gain at most `remaining`;
+            // safe to stop only if even the best non-top accumulator + rest
+            // can't displace the k-th (conservative: compare vs remaining+max)
+            val maxNonTop = {
+              val sorted = acc.valuesIterator.toArray.sorted(Ordering[Double].reverse)
+              if (sorted.length > k) sorted(k) else 0.0
+            }
+            if (math.max(maxNonTop, 0.0) + remaining < kth) done = true
+          }
+        }
+      }
+    }
+    acc.toList
+      .sortBy { case (id, s) => (-s, urlOf(id)) }
+      .take(k)
+      .map { case (id, s) => (urlOf(id), s) }
+  }
+}
+
+object Searcher {
+
+  /** Collect the built artifacts to the driver (test/serving-node scale). */
+  def fromIndex(built: BuiltIndex, n: Int): Searcher = {
+    val dict = built.dictionary.collect().map(d => d.term -> d).toMap
+    val blocks = built.blocks.collect()
+      .groupBy(_.term)
+      .map { case (t, bs) => t -> bs.sortBy(b => (b.part_id, b.seq)).toIndexedSeq }
+    val docs = built.docs.collect()
+    val urlArr = new Array[String](docs.length)
+    val dlArr = new Array[Long](docs.length)
+    docs.foreach { d => urlArr(d.doc_id.toInt) = d.url; dlArr(d.doc_id.toInt) = d.dl }
+    val avgdl = if (docs.isEmpty) 1.0 else dlArr.map(_.toDouble).sum / docs.length
+    new Searcher(n, dict, blocks, id => urlArr(id.toInt), id => dlArr(id.toInt),
+      avgdl, docs.length.toLong)
+  }
+
+  /** Load from persisted index artifacts (parquet dirs written by TableIO). */
+  def load(spark: SparkSession, dir: String, n: Int): Searcher = {
+    import spark.implicits._
+    val built = BuiltIndex(
+      spark.read.parquet(s"$dir/docs").as[graft.index.DocMeta],
+      spark.read.parquet(s"$dir/dictionary").as[DictEntry],
+      spark.read.parquet(s"$dir/blocks").as[PostingBlock])
+    fromIndex(built, n)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.index
+
+import scala.io.Source
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.oracle.Oracle
+import graft.query.Searcher
+
+/** End-to-end index correctness: the distributed Spark build + driver-side
+  * serving path must be RANK-IDENTICAL (urls and exact double scores) to the
+  * single-threaded oracle on the reference query set, at multiple N values
+  * (exercising the idf==0 int-division drop branch) and at multiple
+  * parallelism levels (determinism of the salted/range-partitioned build).
+  */
+class IndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("index-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val numDocs = 300
+  lazy val pagesLocal = Corpus.generateLocal(numDocs)
+  lazy val oracleIndex =
+    Oracle.buildIndex(pagesLocal.map(p => (p.url, new String(p.html, "UTF-8"))), Corpus.lexicon)
+  lazy val built = IndexBuild.build(spark, Corpus.generate(spark, numDocs),
+    Corpus.lexicon, parts = 5, blockSize = 64)
+
+  def queries: Seq[String] =
+    Source.fromInputStream(getClass.getResourceAsStream("/queries.txt"), "UTF-8")
+      .getLines().toVector
+
+  test("varbyte round-trip (seeded property sweep)") {
+    val rng = new scala.util.Random(42)
+    // boundary values around every 7-bit group edge
+    val edges = Array(0L, 1L, 127L, 128L, 129L, 16383L, 16384L, (1L << 21) - 1,
+      1L << 21, (1L << 28) - 1, 1L << 28, (1L << 35), (1L << 42), (1L << 56),
+      Long.MaxValue / 2)
+    assert(Varbyte.decode(Varbyte.encode(edges), edges.length).sameElements(edges))
+    for (_ <- 1 to 200) {
+      val n = rng.nextInt(300)
+      val arr = Array.fill(n)(math.abs(rng.nextLong()) % (1L << rng.nextInt(56)))
+      assert(Varbyte.decode(Varbyte.encode(arr), arr.length).sameElements(arr))
+      val sorted = arr.distinct.sorted
+      if (sorted.nonEmpty)
+        assert(Varbyte.decodeDeltas(Varbyte.encodeDeltas(sorted), sorted.length)
+          .sameElements(sorted))
+    }
+  }
+
+  test("engine postings are identical to oracle postings (order, tf, tfn)") {
+    val searcher = Searcher.fromIndex(built, numDocs)
+    // reconstruct per-term posting lists from blocks, in serving order
+    import spark.implicits._
+    val blocks = built.blocks.collect().groupBy(_.term)
+      .map { case (t, bs) => t -> bs.sortBy(b => (b.part_id, b.seq)).toIndexedSeq }
+    val docs = built.docs.collect().map(d => d.doc_id -> d.url).toMap
+    val dict = built.dictionary.collect().map(d => d.term -> d).toMap
+
+    assert(blocks.keySet == oracleIndex.keySet)
+    for ((term, oraclePosts) <- oracleIndex) {
+      val enginePosts = blocks(term).flatMap(b => IndexBuild.decodeBlock(b))
+        .map { case (id, tf) => (docs(id), tf, 0.4 + 0.6 * tf / dict(term).max_tf) }
+      val expected = oraclePosts.map(p => (p.url, p.tf, p.tfn))
+      assert(enginePosts == expected, s"postings for term '$term'")
+    }
+  }
+
+  test("rank-identical top-k vs oracle on the reference query set") {
+    val searcher = Searcher.fromIndex(built, numDocs)
+    // n = numDocs exercises the idf==0 drop (head terms have df ≈ N);
+    // n = 300000 is the reference's production setting (README step 7)
+    for (n <- Seq(numDocs, 300000)) {
+      val s = if (n == numDocs) searcher
+              else Searcher.fromIndex(built, n)
+      for (q <- queries) {
+        val engine = s.referenceTopK(q)
+        val oracle = Oracle.score(q, n, oracleIndex)
+        assert(engine == oracle, s"query '$q' at N=$n")
+      }
+    }
+  }
+
+  test("build is deterministic across parallelism levels") {
+    val built8 = IndexBuild.build(spark, Corpus.generate(spark, numDocs),
+      Corpus.lexicon, parts = 11, blockSize = 64)
+    val s5 = Searcher.fromIndex(built, numDocs)
+    val s8 = Searcher.fromIndex(built8, numDocs)
+    for (q <- queries)
+      assert(s5.referenceTopK(q) == s8.referenceTopK(q), s"query '$q'")
+    // dictionaries identical
+    val d5 = built.dictionary.collect().sortBy(_.term).toSeq
+    val d8 = built8.dictionary.collect().sortBy(_.term).toSeq
+    assert(d5 == d8)
+  }
+
+  test("bm25 block-max path agrees with exhaustive scoring") {
+    val s = Searcher.fromIndex(built, numDocs)
+    // exhaustive: same formula, no pruning, via oracle-side recompute
+    val dict = built.dictionary.collect().map(d => d.term -> d).toMap
+    val docs = built.docs.collect()
+    val urlOf = docs.map(d => d.doc_id -> d.url).toMap
+    val dlOf = docs.map(d => d.doc_id -> d.dl).toMap
+    val avgdl = docs.map(_.dl.toDouble).sum / docs.length
+    val blocks = built.blocks.collect().groupBy(_.term)
+    for (q <- Seq("galaxy engine", "prince officer soldier", "the of", "history")) {
+      val terms = (graft.text.Text.parseQuery(q).toSet
+        .flatMap((t: String) => Set(t, graft.text.PorterStemmer.stem(t))))
+        .toSeq.sorted.filter(dict.contains)
+      val acc = scala.collection.mutable.HashMap.empty[Long, Double]
+      for (t <- terms; b <- blocks(t); (id, tf) <- IndexBuild.decodeBlock(b)) {
+        val d = dict(t)
+        val idf = math.log((numDocs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        val c = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dlOf(id) / avgdl))
+        acc.update(id, acc.getOrElse(id, 0.0) + c)
+      }
+      val exhaustive = acc.toList.sortBy { case (id, sc) => (-sc, urlOf(id)) }
+        .take(10).map { case (id, sc) => (urlOf(id), sc) }
+      val pruned = s.bm25TopK(q, 10)
+      assert(pruned.map(_._1) == exhaustive.map(_._1), s"bm25 urls for '$q'")
+      for ((p, e) <- pruned.zip(exhaustive))
+        assert(math.abs(p._2 - e._2) < 1e-9, s"bm25 score for '$q'")
+    }
+  }
+}
