@@ -53,9 +53,16 @@ object Oracle {
   private def customLog(base: Double, x: Double): Double =
     math.log(x) / math.log(base)
 
-  /** Full reference query pipeline. Returns ranked (url, score), ≤200 rows. */
+  /** Full reference query pipeline. Returns ranked (url, score), ≤200 rows.
+    *
+    * `pagerank`: None = the live Backend behavior `score = 1.0*TFIDF`
+    * (Backend.java:363, PageRank lookup commented out). Some(ranks) = the
+    * designed blend from the backup scorer: per-posting
+    * `0.7*TFIDF + 0.3*pagerank(url)`, summed across query terms
+    * (Project/backup/Backend1210.java:250-270). */
   def score(query: String, n: Int,
-            index: Map[String, IndexedSeq[Posting]]): List[(String, Double)] = {
+            index: Map[String, IndexedSeq[Posting]],
+            pagerank: Option[String => Double] = None): List[(String, Double)] = {
     // parse: trim, lowercase, split on non-alphanumeric, drop empties
     val surface = Text.parseQuery(query)
     // stem expansion appended AFTER all surface terms (Backend.java:56-63)
@@ -77,8 +84,13 @@ object Oracle {
 
     // sum per url; TreeMap ⇒ url-asc iteration for the stable sort below
     val combined = mutable.TreeMap.empty[String, Double]
-    for ((_, list) <- tfidfMap; (url, tfidf) <- list)
-      combined.update(url, combined.getOrElse(url, 0.0) + 1.0 * tfidf)
+    for ((_, list) <- tfidfMap; (url, tfidf) <- list) {
+      val s = pagerank match {
+        case None     => 1.0 * tfidf
+        case Some(pr) => 0.7 * tfidf + 0.3 * pr(url)
+      }
+      combined.update(url, combined.getOrElse(url, 0.0) + s)
+    }
 
     // stable sort desc by score; ties keep TreeMap (url asc) order
     // (Backend.java:378, 502-510); final top-200 (Backend.java:408)

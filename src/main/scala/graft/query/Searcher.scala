@@ -37,8 +37,13 @@ final class Searcher(val n: Int,
                      numDocs: Long) {
 
   // ---------------------------------------------------------------- reference
-  /** Rank-identical reference scorer. Returns (url, score), ≤200 rows. */
-  def referenceTopK(query: String): List[(String, Double)] = {
+  /** Rank-identical reference scorer. Returns (url, score), ≤200 rows.
+    *
+    * `pagerank`: None = live Backend behavior `1.0*TFIDF` (Backend.java:363);
+    * Some(ranks) = the backup scorer's per-posting blend
+    * `0.7*TFIDF + 0.3*pagerank(url)` (Project/backup/Backend1210.java:259). */
+  def referenceTopK(query: String,
+                    pagerank: Option[String => Double] = None): List[(String, Double)] = {
     val surface = Text.parseQuery(query)
     val expanded: Seq[(String, Boolean)] =
       surface.map(t => (t, false)) ++
@@ -57,7 +62,11 @@ final class Searcher(val n: Int,
     val combined = mutable.TreeMap.empty[String, Double]
     for ((_, list) <- tfidfMap; (docId, tfidf) <- list) {
       val url = urlOf(docId)
-      combined.update(url, combined.getOrElse(url, 0.0) + 1.0 * tfidf)
+      val s = pagerank match {
+        case None     => 1.0 * tfidf
+        case Some(pr) => 0.7 * tfidf + 0.3 * pr(url)
+      }
+      combined.update(url, combined.getOrElse(url, 0.0) + s)
     }
     combined.toList.sortBy { case (_, s) => -s }.take(200)
   }

@@ -85,6 +85,20 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-identical top-k with the 0.7/0.3 PageRank blend flag") {
+    val (ranksDs, _) = graft.rank.PageRank.compute(spark, Corpus.generate(spark, numDocs))
+    val ranks = ranksDs.collect().map(r => r.url -> r.rank).toMap
+    // blend keys pagerank by the PageRank-normalized self url
+    val pr: String => Double =
+      url => ranks.getOrElse(graft.rank.RefUrl.selfNormalize(url), 0.0)
+    val s = Searcher.fromIndex(built, numDocs)
+    for (q <- queries) {
+      val engine = s.referenceTopK(q, Some(pr))
+      val oracle = Oracle.score(q, numDocs, oracleIndex, Some(pr))
+      assert(engine == oracle, s"blend query '$q'")
+    }
+  }
+
   test("build is deterministic across parallelism levels") {
     val built8 = IndexBuild.build(spark, Corpus.generate(spark, numDocs),
       Corpus.lexicon, parts = 11, blockSize = 64)
