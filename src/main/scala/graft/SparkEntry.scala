@@ -16,10 +16,25 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   import Tables.t
 
-  /** Flagship: end-to-end index-build + reference-scored search on a
-    * deterministic synthetic web-page corpus. Driver smoke-checks rows>0. */
+  /** Flagship: end-to-end inverted-index build + reference-scored search on
+    * the deterministic synthetic web-page corpus (url, warc_ts, html, text,
+    * lang). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    searchQuery(spark, numDocs = 500, query = "galaxy engine search")
+
+  /** Build the index over an n-doc synthetic corpus and run one reference-
+    * scored query, returning (rank, url, score) rows. */
+  private def searchQuery(spark: SparkSession, numDocs: Int, query: String): DataFrame = {
+    import spark.implicits._
+    val built = graft.index.IndexBuild.build(
+      spark, graft.corpus.Corpus.generate(spark, numDocs), graft.corpus.Corpus.lexicon,
+      parts = spark.sparkContext.defaultParallelism)
+    val searcher = graft.query.Searcher.fromIndex(built, numDocs)
+    val hits = searcher.referenceTopK(query)
+    spark.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
+      (i + 1, url, math.rint(score * 1e6) / 1e6)
+    }).toDF("rank", "url", "score")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projection / filter (SURVEY §2.1 fromTable/filter) ----
@@ -142,6 +157,110 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // ---- deduplication (training-data pipeline ops) ----
+    "q18_dedup_exact" -> ((s, d) =>
+      graft.ml.Dedup.exactHashGroups(t(s, d, "documents"), "text")),
+    "q19_token_counts" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(col("doc_id"),
+        graft.ml.TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        graft.ml.TextAnalysis.bpeIshTokenCount(col("text")).as("bpeish_tokens"))
+    }),
+    "q20_quality" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(col("doc_id"),
+        graft.ml.TextAnalysis.stopwordCount(col("text")).as("stopwords"),
+        round(graft.ml.TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        graft.ml.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+    "q21_fingerprint" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(col("doc_id"),
+        graft.ml.TextAnalysis.normalizedHash(col("text")).as("norm_hash"))
+    }),
+    // minhash LSH banding: per-band bucket stats (signature path is
+    // murmur3-based → rows-only driver check; exactness vs a local oracle is
+    // covered in MlSpec)
+    "q22_minhash_bands" -> ((s, d) => {
+      val bands = graft.ml.Dedup.minhashBands(t(s, d, "documents"), "doc_id", "text")
+      bands.groupBy(col("band"))
+        .agg(countDistinct(col("band_hash")).as("n_buckets"), count(lit(1)).as("n_rows"))
+    }),
+    "q23_simhash" -> ((s, d) =>
+      graft.ml.Dedup.simhashes(t(s, d, "documents"), "doc_id", "text")),
+    // n-gram Jaccard verification over a fixed candidate set (adjacent ids)
+    "q24_jaccard_pairs" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cand = doc.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .filter(col("id1") < 50)
+      graft.ml.Dedup.jaccardVerify(doc, cand, "doc_id", "text")
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // ---- similarity search over embeddings ----
+    "q25_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      emb.filter(col("vec_id") > 0)
+        .select(col("vec_id"),
+          round(graft.ml.Dedup.cosineCol(col("embedding").cast("array<double>"),
+            typedLit(q)), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+    "q26_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = graft.ml.Ann.centroids(emb, "embedding", c = 8)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val assigned = graft.ml.Ann.ivfAssign(emb.filter(col("vec_id") > 0), "vec_id", "embedding", cents)
+      graft.ml.Ann.ivfTopK(assigned, "vec_id", q, cents, k = 10, nProbe = 3)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    "q27_emb_dup_pairs" -> ((s, d) =>
+      graft.ml.Dedup.embeddingDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.25, nPlanes = 4)),
+
+    // ---- text analysis ----
+    "q28_langid" -> ((s, d) =>
+      graft.ml.TextAnalysis.withLangId(t(s, d, "documents"), "text")
+        .groupBy(col("lang_id"), col("source")).agg(count(lit(1)).as("n"))),
+
+    // ---- multimodal plumbing (decode stage stubbed, see Multimodal) ----
+    "q29_media_features" -> ((s, _) => {
+      val feats = graft.ml.Multimodal.extractFeatures(
+        graft.ml.Multimodal.generateAssets(s, 300))
+      feats.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_bytes")).as("total_bytes"),
+             round(sum(element_at(col("features"), 1)), 2).as("f0_sum"))
+    }),
+
+    // ---- the search engine itself (domain ops over the pages corpus) ----
+    "q30_search_reference" -> ((s, _) => searchQuery(s, 2000, "galaxy engine search")),
+    "q31_search_bm25" -> ((s, _) => {
+      import s.implicits._
+      val n = 2000
+      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
+        graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
+      val searcher = graft.query.Searcher.fromIndex(built, n)
+      val hits = searcher.bm25TopK("distributed storage system", 20)
+      s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
+        (i + 1, url, math.rint(score * 1e6) / 1e6)
+      }).toDF("rank", "url", "score")
+    }),
+    "q32_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val (ranks, _) = graft.rank.PageRank.compute(s, graft.corpus.Corpus.generate(s, 500))
+      ranks.map(r => (r.url, math.rint(r.rank * 1e6) / 1e6)).toDF("url", "rank")
+    }),
+    "q33_dictionary" -> ((s, _) => {
+      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
+        graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
+      built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
     })
   )
 
@@ -216,6 +335,47 @@ object SparkEntry {
     "q17_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS cnt, round(SUM(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+         min(doc_id) AS keep_doc_id FROM documents GROUP BY 1""",
+    "q19_token_counts" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]')) AS bpeish_tokens
+         FROM documents""",
+    "q20_quality" ->
+      """WITH m AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|was|for|on|that|with|as|it)\b')) AS stopwords,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+             END AS praw,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents)
+         SELECT doc_id, stopwords, round(praw, 4) AS punct_ratio,
+           round((
+             (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN ntok = 0 THEN 0.0
+                   WHEN stopwords * 1.0 / ntok > 0.05 THEN 1.0
+                   ELSE (stopwords * 1.0 / ntok) * 20 END) +
+             (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END)
+           ) / 3.0, 4) AS quality
+         FROM m""",
+    "q21_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash
+         FROM documents""",
+    "q25_ann_brute" ->
+      """SELECT e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id > 0
+         ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+                  e.vec_id ASC
+         LIMIT 10"""
   )
 }

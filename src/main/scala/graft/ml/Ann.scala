@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — one narrow map over the vectors plus
+  * a k-row global top-k (Spark's sort-limit is a per-partition top-k merge,
+  * not a full sort, so this scales linearly).
+  *
+  * Scale path: IVF (inverted-file) routing — vectors are assigned to the
+  * nearest of C seeded centroids at write time (cheap k-means-- with fixed
+  * seeds keeps it deterministic); a query probes only the nProbe nearest
+  * centroid partitions, turning a 10^12-vector scan into a
+  * (nProbe/C)-fraction scan. Parquet partitioning by centroid id gives
+  * partition pruning on the probe set.
+  */
+object Ann {
+
+  /** Brute-force cosine top-k for one query vector (codegen'd expression,
+    * no UDF; vectors cast to double so the fold is exact + stable). */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int): DataFrame = {
+    val qLit = typedLit(query)
+    df.select(col(idCol),
+        Dedup.cosineCol(col(vecCol).cast("array<double>"), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic centroids: the first C vectors refined by `iters` rounds
+    * of Lloyd assignment (fixed iteration count → deterministic, no RNG). */
+  def centroids(df: DataFrame, vecCol: String, c: Int, iters: Int = 3): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    var cents = vecs.take(c).map(_.toArray)
+    for (_ <- 1 to iters) {
+      val cb = spark.sparkContext.broadcast(cents)
+      val sums = vecs.map { v =>
+        (Ann.nearest(v.toArray, cb.value), (v.toArray, 1L))
+      }.rdd.reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+        val s = x._1.clone()
+        var i = 0
+        while (i < s.length) { s(i) += y._1(i); i += 1 }
+        (s, x._2 + y._2)
+      }.collect()
+      val next = cents.clone()
+      for ((ci, (s, n)) <- sums) next(ci) = s.map(_ / n)
+      cents = next
+    }
+    cents
+  }
+
+  private[ml] def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      var d = 0.0; var i = 0
+      val c = cents(ci)
+      while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** IVF index: (id, vec, centroid) — write-time routing table. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                cents: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v, nearest(v.toArray, cb.value)) }
+      .toDF(idCol, "vec", "centroid")
+  }
+
+  /** IVF query: probe the nProbe nearest centroid partitions only. */
+  def ivfTopK(assigned: DataFrame, idCol: String, query: Array[Double],
+              cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val byDist = cents.zipWithIndex.sortBy { case (c, _) =>
+      var d = 0.0; var i = 0
+      while (i < query.length) { val t = query(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    val probeSet = byDist.take(nProbe).map(_._2)
+    bruteTopK(assigned.filter(col("centroid").isin(probeSet.toIndexedSeq: _*)),
+      idCol, "vec", query.toIndexedSeq, k)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A multimodal asset: opaque media bytes + typed metadata (the Spark-side
+  * schema for image/audio/video columns at corpus scale). */
+final case class MediaAsset(asset_id: Long, kind: String, media: Array[Byte],
+                            width: Int, height: Int, sample_rate: Int)
+
+final case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
+                               content_hash: Long, features: Array[Float])
+
+/** Multimodal-column plumbing: schema, partitioning, batch shape, and
+  * feature-extraction pipeline over opaque `binary` media columns.
+  *
+  * The actual codec work is STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] is a deterministic fake that "decodes" a fake
+  * header instead of real pixels/samples. Everything around it — the typed
+  * schema, the mapPartitions batch shape (mirroring a Pandas-UDF/Arrow batch
+  * boundary: per-partition iterator, decoder state reused across rows, no
+  * per-row library init), column pruning (media bytes are only read in the
+  * decode stage) — is real and tested, so swapping in a real decoder is a
+  * one-function change.
+  */
+object Multimodal {
+
+  /** Deterministic fake "media" bytes: 16-byte header (kind tag, width,
+    * height, sample rate) + seeded payload. Stands in for real
+    * JPEG/WAV/MP4 bytes in tests and benchmarks. */
+  def fakeMedia(id: Long, kind: String): Array[Byte] = {
+    val rng = new java.util.Random(id * 0x9E3779B97F4A7C15L)
+    val w = 16 + rng.nextInt(64); val h = 16 + rng.nextInt(64)
+    val sr = if (kind == "audio") 8000 + 100 * rng.nextInt(10) else 0
+    val payload = new Array[Byte](64 + rng.nextInt(192))
+    rng.nextBytes(payload)
+    val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+    bb.putInt(kind.hashCode).putInt(w).putInt(h).putInt(sr).put(payload)
+    bb.array()
+  }
+
+  /** STUB decoder — deterministic fake in place of a real image/audio codec.
+    * Parses the fake header and derives a fixed-size feature vector from the
+    * payload bytes. Replace with a real codec to productionize. */
+  def decodeStub(media: Array[Byte], dim: Int = 8): (Int, Int, Int, Array[Float]) = {
+    val bb = java.nio.ByteBuffer.wrap(media)
+    bb.getInt() // kind tag
+    val w = bb.getInt(); val h = bb.getInt(); val sr = bb.getInt()
+    val feats = new Array[Float](dim)
+    var i = 16
+    while (i < media.length) {
+      feats((i - 16) % dim) += (media(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    (w, h, sr, feats)
+  }
+
+  /** Deterministic asset table (for tests/bench; in production this is the
+    * ingested media table, partitioned by kind + bucket(asset_id) so decode
+    * stages scan only the modality they need). */
+  def generateAssets(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = if (id % 3 == 0) "audio" else "image"
+      val media = fakeMedia(id, kind)
+      val (w, h, sr, _) = decodeStub(media)
+      MediaAsset(id, kind, media, w, h, sr)
+    }
+  }
+
+  /** Feature extraction as a partition-batched map — the Arrow/Pandas-UDF
+    * batch shape: decoder initialized once per partition, rows streamed. */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // (real codecs would init native state here, once per partition)
+      it.map { a =>
+        val (_, _, _, feats) = decodeStub(a.media, dim)
+        MediaFeatures(a.asset_id, a.kind, a.media.length.toLong,
+          scala.util.hashing.MurmurHash3.bytesHash(a.media, 42).toLong, feats)
+      }
+    }
+  }
+
+  /** Metadata-only stats (media column pruned — the scan must not read the
+    * bytes; verified in MultimodalSpec via the physical plan's ReadSchema
+    * when the table is on parquet). */
+  def kindStats(assets: DataFrame): DataFrame =
+    assets.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("width")), 4).as("avg_w"),
+           round(avg(col("height")), 4).as("avg_h"))
+}

@@ -1,0 +1,130 @@
+package graft.ml
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ml-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Synthetic doc set with PLANTED near-duplicates: base docs plus copies
+    * with one token changed, plus exact copies. */
+  lazy val docs: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0L until 40L).map { i =>
+      i -> Seq.fill(30)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val nearDups = base.take(10).map { case (i, t) =>
+      (100 + i) -> (t.split(" ").updated(5, "CHANGED").mkString(" "))
+    }
+    val exactDups = base.take(5).map { case (i, t) => (200 + i) -> t }
+    base ++ nearDups ++ exactDups
+  }
+
+  test("exact dedup groups exact copies only") {
+    val df = docs.toDF("doc_id", "text")
+    val groups = Dedup.exactHashGroups(df, "text")
+      .filter(col("n_docs") > 1).collect()
+    assert(groups.length == 5)
+    assert(groups.forall(_.getLong(1) == 2))
+    val kept = Dedup.exactDedup(df, "text").count()
+    assert(kept == docs.size - 5)
+  }
+
+  test("minhash LSH finds planted near-duplicates; jaccard verifies") {
+    val df = docs.toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(df, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(bands, "doc_id")
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all planted near-dups (1 token of 30 changed → jaccard ≈ 0.8+) found
+    for (i <- 0L until 10L)
+      assert(candSet.contains((i, 100 + i)), s"missing near-dup pair $i")
+    // verification: planted pairs score high, a random non-dup pair scores low
+    val verified = Dedup.jaccardVerify(df, cands, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0L until 10L)
+      assert(verified((i, 100 + i)) > 0.5)
+    // exact copies → jaccard 1.0 (they also collide in every band)
+    for (i <- 0L until 5L)
+      assert(verified.get((i, 200 + i)).forall(_ == 1.0))
+  }
+
+  test("simhash pairs = brute-force hamming pairs at maxDist") {
+    val df = docs.toDF("doc_id", "text")
+    val sims = Dedup.simhashes(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i1, h1) <- sims; (i2, h2) <- sims if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 6
+    } yield (i1, i2, d)).toSet
+    val got = Dedup.simhashPairs(Dedup.simhashes(df, "doc_id", "text"), "doc_id", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // exact copies have distance 0
+    assert(brute.exists { case (a, b, d) => d == 0 && b - a == 200 })
+  }
+
+  test("IVF ANN matches brute force on planted clusters") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.toIndexedSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.map(_.toDouble)
+    val brute = Ann.bruteTopK(df.filter($"vec_id" > 0), "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val cents = Ann.centroids(df, "embedding", c = 4)
+    val assigned = Ann.ivfAssign(df.filter($"vec_id" > 0), "vec_id", "embedding", cents)
+    val ivf = Ann.ivfTopK(assigned, "vec_id", q.toArray, cents, k = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute, "IVF with 2 probes should recover brute-force top-10 on clustered data")
+    // and the probe actually prunes: 2 of 4 centroids scanned
+    val scanned = Ann.ivfTopK(assigned, "vec_id", q.toArray, cents, k = 1000, nProbe = 2).count()
+    assert(scanned < 199)
+  }
+
+  test("language id heuristic") {
+    assert(TextAnalysis.langIdOf("the cat and the dog was in the house") == "en")
+    assert(TextAnalysis.langIdOf("der hund und die katze ist nicht da") == "de")
+    assert(TextAnalysis.langIdOf("le chat est dans la maison pour les amis") == "fr")
+    assert(TextAnalysis.langIdOf("el perro es una mascota para la familia") == "es")
+    assert(TextAnalysis.langIdOf("zzz qqq xxx") == "und")
+    assert(TextAnalysis.langIdOf("") == "und")
+  }
+
+  test("rolling fingerprint is order-sensitive and whitespace-robust") {
+    val a = TextAnalysis.rollingFingerprint("alpha beta gamma")
+    assert(a == TextAnalysis.rollingFingerprint("alpha  beta\tgamma"))
+    assert(a != TextAnalysis.rollingFingerprint("gamma beta alpha"))
+    assert(a != TextAnalysis.rollingFingerprint("alpha beta"))
+  }
+
+  test("multimodal feature extraction is deterministic with pruned metadata scan") {
+    val assets = Multimodal.generateAssets(spark, 50)
+    val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(Multimodal.generateAssets(spark, 50))
+      .collect().sortBy(_.asset_id)
+    assert(f1.map(_.content_hash).sameElements(f2.map(_.content_hash)))
+    assert(f1.forall(_.features.length == 8))
+    // metadata-only stats never touch the media column once on parquet
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    assets.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val plan = Multimodal.kindStats(onDisk).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("media"),
+      s"media column must be pruned from the scan:\n$plan")
+  }
+}
