@@ -26,15 +26,17 @@ final case class DictEntry(term: String, df: Long, max_tf: Int)
   * order IS the reference's serving order (tf desc, url asc): the build
   * range-partitions + sorts postings by (term asc, tf desc, doc_id asc) and
   * cuts blocks along that order, and doc_id asc ≡ url asc by construction.
-  * Inside a block, postings are re-sorted by doc_id so ids delta+varbyte
-  * compress; decoding re-sorts by (tf desc, doc_id asc) to restore serving
-  * order (block boundaries make that a pure local operation).
+  * Inside a block, postings are stored sorted by doc_id so ids delta+varbyte
+  * compress; `perm_vb` is the varbyte-coded permutation mapping serving rank
+  * → doc-order position, so serving-order decode is a table walk, not a sort
+  * (block boundaries make serving order a purely local property).
   *
   * `max_tf` is the block-max metadata (first posting's tf in serving order)
   * driving early termination in the impact-ordered top-k path.
   */
 final case class PostingBlock(term: String, part_id: Int, seq: Int, n: Int,
-                              max_tf: Int, docs_vb: Array[Byte], tfs_vb: Array[Byte])
+                              max_tf: Int, docs_vb: Array[Byte],
+                              tfs_vb: Array[Byte], perm_vb: Array[Byte])
 
 final case class BuiltIndex(docs: Dataset[DocMeta],
                             dictionary: Dataset[DictEntry],
@@ -95,48 +97,62 @@ object IndexBuild {
     }
     val offB = spark.sparkContext.broadcast(offsets)
 
-    // --- stage 3: tokenize once; emit postings + doc metadata ---
-    val withCounts = ranged.mapPartitions { it =>
+    // --- stage 3: tokenize ONCE; persist flat posting rows (compact
+    // Tungsten rows — far cheaper to cache than nested per-doc term maps) ---
+    val postings = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var local = 0L
+      it.flatMap { p =>
+        val id = offB.value(pid) + local
+        local += 1
+        Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+          .iterator.collect {
+            // >100-char term guard, reference jobs/Indexer.java:98-100
+            case (term, tf) if term.length <= 100 => TermPosting(term, id, tf)
+          }
+      }
+    }.persist(StorageLevel.DISK_ONLY) // feeds range-sampling + shuffle + dl agg;
+    // serialized-on-disk beats memory churn for this write-once read-thrice set
+
+    // docs: id/url from a cheap non-tokenizing pass over the same layout;
+    // dl (sum of indexed term counts) from a skew-free map-side-combined agg
+    val docIdUrl = ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var local = 0L
       it.map { p =>
         val id = offB.value(pid) + local
         local += 1
-        val counts = Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-        (id, p.url, counts.toSeq)
+        (id, p.url)
       }
-    }.persist(StorageLevel.MEMORY_AND_DISK) // tokenize once, feed docs+postings
+    }.toDF("doc_id", "url")
+    val dl = postings.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val docs = docIdUrl.join(dl, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl"))
+      .as[DocMeta]
 
-    val docs = withCounts.map { case (id, url, counts) =>
-      DocMeta(id, url, counts.iterator.map(_._2.toLong).sum)
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-
-    val postings = withCounts.flatMap { case (id, _, counts) =>
-      counts.iterator.collect {
-        // >100-char term guard, reference jobs/Indexer.java:98-100
-        case (term, tf) if term.length <= 100 => TermPosting(term, id, tf)
-      }
-    }
-
-    // --- stage 4: dictionary (map-side combine, skew-free) ---
-    val dictionary = postings
-      .groupBy($"term")
-      .agg(count(lit(1)).as("df"), max($"tf").as("max_tf"))
-      .as[DictEntry]
-
-    // --- stage 5: impact-ordered compressed blocks ---
+    // --- stage 4: impact-ordered compressed blocks ---
     // Range partition on the full serving order: hot terms span partitions.
     val blocks = postings
       .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
       .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
       .mapPartitions { it => encodeBlocks(it, blockSize) }
+      .persist(StorageLevel.MEMORY_AND_DISK) // small (compressed) artifact
+
+    // --- stage 5: dictionary FROM block metadata — every posting lands in
+    // exactly one block, so df = Σ block.n and max_tf = max block.max_tf;
+    // this replaces a second full aggregation over the posting rows with a
+    // tiny agg over ~(terms × parts) block headers ---
+    val dictionary = blocks
+      .groupBy($"term")
+      .agg(sum($"n").as("df"), max($"max_tf").as("max_tf"))
+      .as[DictEntry]
 
     BuiltIndex(docs, dictionary, blocks)
   }
 
   /** Cut a partition's (term, tf desc, doc asc)-sorted posting stream into
     * compressed blocks of ≤ blockSize postings per term run. */
-  private[index] def encodeBlocks(it: Iterator[TermPosting],
+  private[graft] def encodeBlocks(it: Iterator[TermPosting],
                                   blockSize: Int): Iterator[PostingBlock] = {
     val pid = TaskContext.getPartitionId()
     new Iterator[PostingBlock] {
@@ -155,24 +171,36 @@ object IndexBuild {
           ids += p.doc_id; tfs += p.tf
           if (p.tf > maxTf) maxTf = p.tf
         }
-        // re-sort by doc_id for delta coding; serving order is recoverable
-        // because doc_id asc ≡ url asc within equal tf (see PostingBlock doc)
-        val order = ids.indices.sortBy(ids(_))
-        val sortedIds = order.map(ids(_)).toArray
-        val sortedTfs = order.map(tfs(_)).toArray
+        // store by doc_id for delta coding; perm maps serving rank (the
+        // arrival order here: tf desc, doc asc) → doc-order position
+        val order = ids.indices.sortBy(ids(_)).toArray
+        val sortedIds = order.map(ids(_))
+        val sortedTfs = order.map(tfs(_))
+        // order(p) = serving rank of doc-order position p ⇒ inverting gives
+        // perm(servingRank) = doc-order position, which is what decode walks
+        val perm = new Array[Int](order.length)
+        var p = 0
+        while (p < order.length) { perm(order(p)) = p; p += 1 }
         val b = PostingBlock(curTerm, pid, blockSeq, sortedIds.length, maxTf,
-          Varbyte.encodeDeltas(sortedIds), Varbyte.encodeInts(sortedTfs))
+          Varbyte.encodeDeltas(sortedIds), Varbyte.encodeInts(sortedTfs),
+          Varbyte.encodeInts(perm))
         blockSeq += 1
         b
       }
     }
   }
 
-  /** Decode a block back to (doc_id, tf) in SERVING order (tf desc, doc asc). */
+  /** Decode a block to (doc_id, tf) in SERVING order (tf desc, doc asc) —
+    * a permutation walk, no sort. */
   def decodeBlock(b: PostingBlock): Array[(Long, Int)] = {
     val ids = Varbyte.decodeDeltas(b.docs_vb, b.n)
     val tfs = Varbyte.decodeInts(b.tfs_vb, b.n)
-    val arr = Array.tabulate(b.n)(i => (ids(i), tfs(i)))
-    arr.sortBy { case (id, tf) => (-tf, id) }
+    val perm = Varbyte.decodeInts(b.perm_vb, b.n)
+    Array.tabulate(b.n) { r => val p = perm(r); (ids(p), tfs(p)) }
   }
+
+  /** Decode in stored (doc_id asc) order — for scorers that don't need
+    * serving order (BM25 accumulation), skipping the permutation walk. */
+  def decodeBlockDocOrder(b: PostingBlock): (Array[Long], Array[Int]) =
+    (Varbyte.decodeDeltas(b.docs_vb, b.n), Varbyte.decodeInts(b.tfs_vb, b.n))
 }

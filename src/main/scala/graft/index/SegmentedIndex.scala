@@ -1,0 +1,116 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Page
+import graft.tables.TableIO
+
+/** Checkpoint-resumable segmented index build (the north rule's
+  * "resumable from checkpoint with per-partition lineage").
+  *
+  * The corpus is bucketed by `xxhash64(url) % buckets`; each bucket is
+  * tokenized into a SEGMENT (its posting triples + doc metadata) stored as a
+  * partition of an Iceberg-layout table whose manifest records the bucket's
+  * input fingerprint (order-independent hash over (url, html) of every page
+  * in the bucket). A re-run recomputes only buckets whose fingerprint
+  * changed — unchanged segments are carried into the new snapshot as hard
+  * links, skipping tokenization (the dominant cost) entirely.
+  *
+  * The global index is then the standard [[IndexBuild]] tail (dense url-rank
+  * doc ids → range-partitioned impact-ordered blocks → dictionary) run over
+  * the segment postings instead of raw pages — the "segment merge". Doc ids
+  * are (re)assigned globally at merge time so docId order ≡ url order holds
+  * across segments (required for the reference serving tie-break).
+  */
+object SegmentedIndex {
+
+  final case class BuildReport(snapshotId: Long, rebuilt: Set[String], reused: Set[String])
+
+  /** Per-bucket order-independent input fingerprint: XOR-fold of per-page
+    * hashes (xxhash64 over url + html) + row count. Computed in one scan,
+    * no shuffle beyond the tiny per-bucket agg; XOR is order-independent and
+    * overflow-free under ANSI mode. */
+  def fingerprints(pages: DataFrame, buckets: Int): Map[String, String] = {
+    val withB = pages.select(
+      pmod(xxhash64(col("url")), lit(buckets)).cast("int").as("bucket"),
+      xxhash64(col("url"), col("html")).as("h"))
+    val rows = withB.groupBy(col("bucket"))
+      .agg(bit_xor(col("h")).as("fp"), count(lit(1)).as("n"))
+      .collect()
+    val m = rows.map(r => r.getInt(0).toString -> s"${r.getLong(1)}_${r.getLong(2)}").toMap
+    // buckets with zero pages still need a stable fingerprint
+    (0 until buckets).map(b => b.toString -> m.getOrElse(b.toString, "empty_0")).toMap
+  }
+
+  /** Tokenize (or reuse) per-bucket segments under `dir`. Segment rows:
+    * (bucket, url, term, tf) — url-keyed so global ids can be assigned at
+    * merge time; dl rows carried as term="" + tf=dl? No: dl is derivable as
+    * sum(tf) per url, which is exactly how the merge computes it. */
+  def buildSegments(spark: SparkSession, pages: org.apache.spark.sql.Dataset[Page],
+                    lexicon: Set[String], dir: String, buckets: Int): BuildReport = {
+    import spark.implicits._
+    val fps = fingerprints(pages.toDF(), buckets)
+    val lex = spark.sparkContext.broadcast(lexicon)
+    val (snap, rebuilt, reused) = TableIO.writeResumable(
+      spark, dir, "tokenize-segments", "bucket", fps,
+      rebuild => {
+        val wanted = rebuild.map(_.toInt)
+        pages
+          .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+          .filter(col("bucket").isin(wanted.toSeq: _*))
+          .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+          .flatMap { case (url, _, html, _, _, bucket) =>
+            graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
+              .iterator.collect {
+                case (term, tf) if term.length <= 100 => (bucket, url, term, tf)
+              }
+          }.toDF("bucket", "url", "term", "tf")
+      })
+    BuildReport(snap, rebuilt, reused)
+  }
+
+  /** Global merge: segments → BuiltIndex with globally dense url-ordered doc
+    * ids (ids are re-assigned every merge; segments stay id-free). */
+  def merge(spark: SparkSession, dir: String, parts: Int = 32,
+            blockSize: Int = IndexBuild.DefaultBlockSize): BuiltIndex = {
+    import spark.implicits._
+    val seg = TableIO.read(spark, dir).select("url", "term", "tf")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+    // dense ids over distinct urls (same offsets technique as IndexBuild)
+    val urls = seg.select($"url").distinct()
+      .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = urls.mapPartitions { it =>
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = {
+      val m = new Array[Long](parts); var acc = 0L
+      for ((pid, c) <- counts) { m(pid) = acc; acc += c }; m
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val docmap = urls.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var local = 0L
+      it.map { r => val id = offB.value(pid) + local; local += 1; (id, r.getString(0)) }
+    }.toDF("doc_id", "url")
+
+    val postings = seg.join(docmap, Seq("url"))
+      .select($"term", $"doc_id", $"tf").as[TermPosting]
+
+    val blocks = postings
+      .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
+      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
+      .mapPartitions(it => IndexBuild.encodeBlocks(it, blockSize))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val dictionary = blocks.groupBy($"term")
+      .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
+
+    val docs = docmap.join(
+        postings.groupBy($"doc_id").agg(sum($"tf").as("dl")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl")).as[DocMeta]
+
+    BuiltIndex(docs, dictionary, blocks)
+  }
+}

@@ -34,6 +34,7 @@ final class Searcher(val n: Int,
                      urlOf: Long => String,
                      dlOf: Long => Long,
                      avgdl: Double,
+                     dlMin: Long,
                      numDocs: Long) {
 
   // ---------------------------------------------------------------- reference
@@ -101,32 +102,36 @@ final class Searcher(val n: Int,
   /** Standard BM25 top-k with block-max early termination over the
     * impact-ordered blocks. Safe stop rule: processing blocks in impact
     * order per term, any doc's best reachable score is its accumulated
-    * score + the sum of remaining per-term upper bounds; terminate when that
-    * cannot beat the current k-th best. */
+    * score + the sum of remaining per-term upper bounds (block-max tf at the
+    * corpus-min dl); terminate when that cannot displace the current k-th
+    * best. Decodes in stored doc order (no serving-order walk needed). */
   def bm25TopK(query: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): List[(String, Double)] = {
     val terms = (Text.parseQuery(query).toSet.flatMap { (t: String) =>
       Set(t, PorterStemmer.stem(t))
     }).toSeq.sorted.filter(dict.contains)
     if (terms.isEmpty) return Nil
 
-    final case class TermState(term: String, idf: Double,
-                               blocks: IndexedSeq[PostingBlock], var next: Int) {
-      // upper bound of this term's contribution for any unseen posting
-      def bound: Double =
-        if (next >= blocks.length) 0.0
-        else contribution(idf, blocks(next).max_tf, 0L) // dl→0 maximizes
-    }
     def contribution(idf: Double, tf: Int, dl: Long): Double =
       idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
 
+    final case class TermState(idf: Double, blocks: IndexedSeq[PostingBlock], var next: Int) {
+      def bound: Double =
+        if (next >= blocks.length) 0.0
+        else contribution(idf, blocks(next).max_tf, dlMin)
+    }
     val states = terms.map { t =>
       val d = dict(t)
       val idf = math.log((numDocs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-      TermState(t, idf, blocksByTerm.getOrElse(t, IndexedSeq.empty), 0)
+      TermState(idf, blocksByTerm.getOrElse(t, IndexedSeq.empty), 0)
     }.toArray
 
-    val acc = mutable.HashMap.empty[Long, Double]
-    var iter = 0
+    // primitive open-addressing accumulator (no boxing in the hot loop);
+    // capacity from the dictionary's df sum — known before any decode
+    val dfSum = terms.iterator.map(t => dict(t).df).sum
+    val acc = new LongDoubleMap(dfSum.toInt.max(64))
+
+    var maxAcc = 0.0
+    var blocksSinceCheck = 0
     var done = false
     while (!done) {
       // process the highest-bound pending block (impact order across terms)
@@ -142,33 +147,113 @@ final class Searcher(val n: Int,
         val st = states(best)
         val blk = st.blocks(st.next)
         st.next += 1
-        for ((docId, tf) <- IndexBuild.decodeBlock(blk)) {
-          val c = contribution(st.idf, tf, dlOf(docId))
-          acc.update(docId, acc.getOrElse(docId, 0.0) + c)
+        val (ids, tfs) = IndexBuild.decodeBlockDocOrder(blk)
+        var j = 0
+        while (j < ids.length) {
+          val v = acc.add(ids(j), contribution(st.idf, tfs(j), dlOf(ids(j))))
+          if (v > maxAcc) maxAcc = v
+          j += 1
         }
-        iter += 1
-        // early termination check every few blocks
-        if (acc.size >= k && iter % 4 == 0) {
-          val remaining = states.iterator.map(_.bound).sum
-          if (remaining > 0) {
-            val kth = acc.valuesIterator.toArray.sorted(Ordering[Double].reverse)
-              .take(k).lastOption.getOrElse(0.0)
-            // any doc (seen or unseen) can still gain at most `remaining`;
-            // safe to stop only if even the best non-top accumulator + rest
-            // can't displace the k-th (conservative: compare vs remaining+max)
-            val maxNonTop = {
-              val sorted = acc.valuesIterator.toArray.sorted(Ordering[Double].reverse)
-              if (sorted.length > k) sorted(k) else 0.0
-            }
-            if (math.max(maxNonTop, 0.0) + remaining < kth) done = true
+        blocksSinceCheck += 1
+        if (acc.size >= k && blocksSinceCheck >= 8) {
+          blocksSinceCheck = 0
+          val remaining = states.foldLeft(0.0)(_ + _.bound)
+          if (remaining == 0.0) done = true
+          // cheap precheck: kth ≤ maxAcc, so remaining ≥ maxAcc can never prune
+          else if (remaining < maxAcc) {
+            val (kth, belowKth) = acc.kthAndNext(k)
+            if (belowKth + remaining < kth) done = true
           }
         }
       }
     }
-    acc.toList
+    // select candidates ≥ k-th score first (primitive pass), THEN sort the
+    // small survivor set with the url tie-break — avoids sorting the full
+    // accumulator table
+    val cutoff = if (acc.size <= k) Double.NegativeInfinity else acc.kthAndNext(k)._1
+    acc.collectAtLeast(cutoff)
       .sortBy { case (id, s) => (-s, urlOf(id)) }
       .take(k)
       .map { case (id, s) => (urlOf(id), s) }
+      .toList
+  }
+}
+
+/** Minimal open-addressing long→double accumulator (linear probing,
+  * power-of-two capacity, no boxing) for the BM25 hot loop. */
+private[query] final class LongDoubleMap(expected: Int) {
+  private val capacity: Int = {
+    var c = 64
+    while (c < expected * 2) c <<= 1
+    c
+  }
+  private val mask = capacity - 1
+  private val keys = new Array[Long](capacity)
+  private val vals = new Array[Double](capacity)
+  private val used = new Array[Boolean](capacity)
+  var size = 0
+
+  /** Adds c to the accumulator for id; returns the new value. */
+  def add(id: Long, c: Double): Double = {
+    var i = ((id * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+    while (used(i) && keys(i) != id) i = (i + 1) & mask
+    if (!used(i)) { used(i) = true; keys(i) = id; vals(i) = c; size += 1; c }
+    else { vals(i) += c; vals(i) }
+  }
+
+  /** (k-th largest value, (k+1)-th largest or 0) via a primitive size-(k+1)
+    * min-heap — O(A) scan, heap ops only for values above the current min. */
+  def kthAndNext(k: Int): (Double, Double) = {
+    val cap = k + 1
+    val heap = new Array[Double](cap)
+    var hSize = 0
+    def siftUp(j0: Int): Unit = {
+      var j = j0
+      while (j > 0 && heap(j) < heap((j - 1) / 2)) {
+        val p = (j - 1) / 2
+        val t = heap(j); heap(j) = heap(p); heap(p) = t
+        j = p
+      }
+    }
+    def siftDown(): Unit = {
+      var j = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * j + 1; val r = l + 1
+        var m = j
+        if (l < hSize && heap(l) < heap(m)) m = l
+        if (r < hSize && heap(r) < heap(m)) m = r
+        if (m == j) cont = false
+        else { val t = heap(j); heap(j) = heap(m); heap(m) = t; j = m }
+      }
+    }
+    var i = 0
+    while (i < capacity) {
+      if (used(i)) {
+        val v = vals(i)
+        if (hSize < cap) { heap(hSize) = v; siftUp(hSize); hSize += 1 }
+        else if (v > heap(0)) { heap(0) = v; siftDown() }
+      }
+      i += 1
+    }
+    if (hSize <= k) (heap(0), 0.0)
+    else {
+      val next = heap(0)
+      heap(0) = heap(hSize - 1); hSize -= 1; siftDown()
+      (heap(0), next)
+    }
+  }
+
+  def toBuffer: mutable.ArrayBuffer[(Long, Double)] = collectAtLeast(Double.NegativeInfinity)
+
+  def collectAtLeast(cutoff: Double): mutable.ArrayBuffer[(Long, Double)] = {
+    val out = new mutable.ArrayBuffer[(Long, Double)]()
+    var i = 0
+    while (i < capacity) {
+      if (used(i) && vals(i) >= cutoff) out += ((keys(i), vals(i)))
+      i += 1
+    }
+    out
   }
 }
 
@@ -185,8 +270,9 @@ object Searcher {
     val dlArr = new Array[Long](docs.length)
     docs.foreach { d => urlArr(d.doc_id.toInt) = d.url; dlArr(d.doc_id.toInt) = d.dl }
     val avgdl = if (docs.isEmpty) 1.0 else dlArr.map(_.toDouble).sum / docs.length
+    val dlMin = if (docs.isEmpty) 0L else dlArr.min
     new Searcher(n, dict, blocks, id => urlArr(id.toInt), id => dlArr(id.toInt),
-      avgdl, docs.length.toLong)
+      avgdl, dlMin, docs.length.toLong)
   }
 
   /** Load from persisted index artifacts (parquet dirs written by TableIO). */

