@@ -257,6 +257,13 @@ object SparkEntry {
       val (ranks, _) = graft.rank.PageRank.compute(s, graft.corpus.Corpus.generate(s, 500))
       ranks.map(r => (r.url, math.rint(r.rank * 1e6) / 1e6)).toDF("url", "rank")
     }),
+    // sample: declared-but-unimplemented in the reference (FlameRDD.java:120,
+    // FlameRDDImpl.java:53-56 returns null) — Spark built-in, seeded
+    "q34_sample" -> ((s, d) => {
+      t(s, d, "lineitem").sample(withReplacement = false, 0.01, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"),
+             round(avg(col("l_quantity")), 4).as("avg_qty"))
+    }),
     "q33_dictionary" -> ((s, _) => {
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
         graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)

@@ -150,6 +150,45 @@ object IndexBuild {
     BuiltIndex(docs, dictionary, blocks)
   }
 
+  /** Build a full index from id-free posting triples (url, term, tf) — the
+    * shared "global merge" tail used by [[SegmentedIndex.merge]] and the
+    * streaming ingest: dense url-ordered doc ids via partition offsets, then
+    * the standard impact-ordered block/dictionary/docs pipeline. */
+  def fromUrlTermTf(spark: SparkSession, seg: org.apache.spark.sql.DataFrame,
+                    parts: Int, blockSize: Int = DefaultBlockSize): BuiltIndex = {
+    import spark.implicits._
+    val urls = seg.select($"url").distinct()
+      .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = urls.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = {
+      val m = new Array[Long](parts); var acc = 0L
+      for ((pid, c) <- counts) { m(pid) = acc; acc += c }; m
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val docmap = urls.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var local = 0L
+      it.map { r => val id = offB.value(pid) + local; local += 1; (id, r.getString(0)) }
+    }.toDF("doc_id", "url")
+
+    val postings = seg.join(docmap, Seq("url"))
+      .select($"term", $"doc_id", $"tf").as[TermPosting]
+    val blocks = postings
+      .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
+      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
+      .mapPartitions(it => encodeBlocks(it, blockSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dictionary = blocks.groupBy($"term")
+      .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
+    val docs = docmap.join(
+        postings.groupBy($"doc_id").agg(sum($"tf").as("dl")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl")).as[DocMeta]
+    BuiltIndex(docs, dictionary, blocks)
+  }
+
   /** Cut a partition's (term, tf desc, doc asc)-sorted posting stream into
     * compressed blocks of ≤ blockSize postings per term run. */
   private[graft] def encodeBlocks(it: Iterator[TermPosting],

@@ -73,44 +73,8 @@ object SegmentedIndex {
     * ids (ids are re-assigned every merge; segments stay id-free). */
   def merge(spark: SparkSession, dir: String, parts: Int = 32,
             blockSize: Int = IndexBuild.DefaultBlockSize): BuiltIndex = {
-    import spark.implicits._
     val seg = TableIO.read(spark, dir).select("url", "term", "tf")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-
-    // dense ids over distinct urls (same offsets technique as IndexBuild)
-    val urls = seg.select($"url").distinct()
-      .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = urls.mapPartitions { it =>
-      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = {
-      val m = new Array[Long](parts); var acc = 0L
-      for ((pid, c) <- counts) { m(pid) = acc; acc += c }; m
-    }
-    val offB = spark.sparkContext.broadcast(offsets)
-    val docmap = urls.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var local = 0L
-      it.map { r => val id = offB.value(pid) + local; local += 1; (id, r.getString(0)) }
-    }.toDF("doc_id", "url")
-
-    val postings = seg.join(docmap, Seq("url"))
-      .select($"term", $"doc_id", $"tf").as[TermPosting]
-
-    val blocks = postings
-      .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
-      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
-      .mapPartitions(it => IndexBuild.encodeBlocks(it, blockSize))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val dictionary = blocks.groupBy($"term")
-      .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
-
-    val docs = docmap.join(
-        postings.groupBy($"doc_id").agg(sum($"tf").as("dl")), Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dl")).as[DocMeta]
-
-    BuiltIndex(docs, dictionary, blocks)
+    IndexBuild.fromUrlTermTf(spark, seg, parts, blockSize)
   }
 }

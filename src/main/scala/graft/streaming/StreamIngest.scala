@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming abstraction (SURVEY.md §2.9) — its only
+  * incremental behaviors are the crawler frontier loop and manual
+  * stage-restarts. This module supplies the Spark-native equivalents:
+  *
+  *  - [[eventsHourly]]: event-time windowed aggregation with a watermark —
+  *    the streaming twin of the batch q17 query;
+  *  - [[indexIngest]]: incremental index ingestion — `readStream` over a
+  *    page directory, each micro-batch tokenized via `foreachBatch` into
+  *    append-only posting-segment files; the global merge
+  *    ([[graft.index.SegmentedIndex.merge]]-equivalent tail) runs over ALL
+  *    accumulated segments, so a crashed/restarted stream resumes from its
+  *    checkpoint and never re-tokenizes committed batches.
+  */
+object StreamIngest {
+
+  /** Streaming hourly event aggregation with watermarking (late data beyond
+    * the watermark is dropped). Returns the started query (memory sink). */
+  def eventsHourly(spark: SparkSession, sourceDir: String, queryName: String,
+                   watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      // watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Incremental tokenization: stream page parquet files; per micro-batch,
+    * tokenize and append (url, term, tf) segment files under
+    * `segmentsDir/batch=<id>/`. Checkpointed: restarts skip committed
+    * batches (exactly-once file-sink semantics come from the foreachBatch
+    * writer being idempotent per batchId path). */
+  def indexIngest(spark: SparkSession, pagesDir: String, segmentsDir: String,
+                  checkpointDir: String, lexicon: Set[String]): StreamingQuery = {
+    val lex = spark.sparkContext.broadcast(lexicon)
+    val schema = spark.read.parquet(pagesDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(pagesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark2 = batch.sparkSession
+        import spark2.implicits._
+        batch.select("url", "html").as[(String, Array[Byte])]
+          .flatMap { case (url, html) =>
+            graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
+              .iterator.collect {
+                case (term, tf) if term.length <= 100 => (url, term, tf)
+              }
+          }
+          .toDF("url", "term", "tf")
+          .write.mode("overwrite") // idempotent per-batch path
+          .parquet(s"$segmentsDir/batch=$batchId")
+      }
+      .start()
+  }
+
+  /** Global merge over streamed segments → a searchable index (same shared
+    * tail as SegmentedIndex.merge, reading the stream's segment files). */
+  def mergeStreamed(spark: SparkSession, segmentsDir: String, parts: Int = 8,
+                    blockSize: Int = graft.index.IndexBuild.DefaultBlockSize): graft.index.BuiltIndex = {
+    val seg = spark.read.parquet(segmentsDir).select("url", "term", "tf")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    graft.index.IndexBuild.fromUrlTermTf(spark, seg, parts, blockSize)
+  }
+}

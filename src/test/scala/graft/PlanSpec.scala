@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan hygiene: the declarative queries must actually get the
+  * optimizations the architecture leans on — parquet filter/column pushdown,
+  * broadcast joins for small dims, whole-stage codegen — not just correct
+  * results (builder prompt: ".explain the plan and iterate until it's the
+  * plan you'd want").
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 pushes the filter and prunes columns at the parquet scan") {
+    val plan = planOf("q01_scan_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"),
+      "projection must prune unused columns")
+  }
+
+  test("q02 pushes both predicates") {
+    val plan = planOf("q02_filter")
+    assert(plan.contains("EqualTo(event_type,click)") && plan.contains("GreaterThan(value,50.0)"),
+      s"predicates not pushed:\n$plan")
+  }
+
+  test("q06 uses a broadcast hash join for the small dimension") {
+    val plan = planOf("q06_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q07/q08 plan as semi/anti joins, not generic joins") {
+    assert(planOf("q07_semi_join").contains("LeftSemi"))
+    assert(planOf("q08_anti_join").contains("LeftAnti"))
+  }
+
+  test("q03 aggregation is whole-stage codegen'd with partial aggregation") {
+    val df = SparkEntry.queries("q03_agg_group")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker in the plan rendering
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"agg must stay inside codegen:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q15 top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q15_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q18 dedup hash-agg is partial (map-side combined)") {
+    val plan = planOf("q18_dedup_exact")
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected partial hash aggregation:\n$plan")
+  }
+}
