@@ -45,15 +45,16 @@ final case class BuiltIndex(docs: Dataset[DocMeta],
 /** Distributed inverted-index build (SURVEY.md §7.2 step 4).
   *
   * Scale design (the 100 TB story, tested at local[32]):
-  *  - ONE full shuffle of the page data: `repartitionByRange(url)` +
-  *    in-partition sort. Everything downstream (doc ids, tokenization) rides
-  *    that partitioning. In production this layout is the ingested table
-  *    itself (url-range-partitioned Iceberg layout), making the shuffle a
-  *    one-time ingest cost.
+  *  - Page bytes are NEVER shuffled or cached: tokenization is a narrow map
+  *    over the source table; only compact (url, term, tf) triples flow
+  *    downstream. The two data-sized shuffles are triples→docmap join and
+  *    the blocks range shuffle — both orders of magnitude smaller than the
+  *    raw corpus.
   *  - Dense deterministic doc ids WITHOUT a single-reducer global sort:
-  *    per-partition counts (one cheap action over the persisted ranged data)
-  *    → prefix-sum offsets broadcast → id = offset + local index. Ids are
-  *    reproducible at any parallelism because the url order is total.
+  *    distinct urls are range-partitioned + sorted (tiny relative to data),
+  *    per-partition counts → prefix-sum offsets broadcast → id = offset +
+  *    local index. Ids are reproducible at any parallelism because the url
+  *    order is total.
   *  - Head-term skew (Zipf "the" ≈ every doc) never concentrates on one
   *    task: postings are range-partitioned on (term, tf desc, doc_id), so a
   *    hot term's postings SPAN partitions — the range partitioner's sampling
@@ -79,75 +80,21 @@ object IndexBuild {
     import spark.implicits._
     val lex = spark.sparkContext.broadcast(lexicon)
 
-    // --- stage 1: url-range layout (the one full shuffle) ---
-    val ranged = pages
-      .repartitionByRange(parts, $"url")
-      .sortWithinPartitions($"url")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Tokenize IN PLACE (narrow map — page bytes are never shuffled or
+    // persisted; only compact (url, term, tf) triples flow downstream) and
+    // hand off to the shared id-assignment + block-encode tail.
+    val triples = pages.flatMap { p =>
+      Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+        .iterator.collect {
+          // >100-char term guard, reference jobs/Indexer.java:98-100
+          case (term, tf) if term.length <= 100 => (p.url, term, tf)
+        }
+    }.toDF("url", "term", "tf")
+      .persist(StorageLevel.DISK_ONLY) // write-once read-thrice (url sort
+    // sampling, docmap join, blocks shuffle); serialized-on-disk beats
+    // memory churn, and at 100 TB this is the natural spill point
 
-    // --- stage 2: per-partition counts → doc-id offsets ---
-    val partCounts = ranged.mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = {
-      val m = new Array[Long](parts)
-      var acc = 0L
-      for ((pid, c) <- partCounts) { m(pid) = acc; acc += c }
-      m
-    }
-    val offB = spark.sparkContext.broadcast(offsets)
-
-    // --- stage 3: tokenize ONCE; persist flat posting rows (compact
-    // Tungsten rows — far cheaper to cache than nested per-doc term maps) ---
-    val postings = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var local = 0L
-      it.flatMap { p =>
-        val id = offB.value(pid) + local
-        local += 1
-        Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-          .iterator.collect {
-            // >100-char term guard, reference jobs/Indexer.java:98-100
-            case (term, tf) if term.length <= 100 => TermPosting(term, id, tf)
-          }
-      }
-    }.persist(StorageLevel.DISK_ONLY) // feeds range-sampling + shuffle + dl agg;
-    // serialized-on-disk beats memory churn for this write-once read-thrice set
-
-    // docs: id/url from a cheap non-tokenizing pass over the same layout;
-    // dl (sum of indexed term counts) from a skew-free map-side-combined agg
-    val docIdUrl = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var local = 0L
-      it.map { p =>
-        val id = offB.value(pid) + local
-        local += 1
-        (id, p.url)
-      }
-    }.toDF("doc_id", "url")
-    val dl = postings.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val docs = docIdUrl.join(dl, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dl"))
-      .as[DocMeta]
-
-    // --- stage 4: impact-ordered compressed blocks ---
-    // Range partition on the full serving order: hot terms span partitions.
-    val blocks = postings
-      .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
-      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
-      .mapPartitions { it => encodeBlocks(it, blockSize) }
-      .persist(StorageLevel.MEMORY_AND_DISK) // small (compressed) artifact
-
-    // --- stage 5: dictionary FROM block metadata — every posting lands in
-    // exactly one block, so df = Σ block.n and max_tf = max block.max_tf;
-    // this replaces a second full aggregation over the posting rows with a
-    // tiny agg over ~(terms × parts) block headers ---
-    val dictionary = blocks
-      .groupBy($"term")
-      .agg(sum($"n").as("df"), max($"max_tf").as("max_tf"))
-      .as[DictEntry]
-
-    BuiltIndex(docs, dictionary, blocks)
+    fromUrlTermTf(spark, triples, parts, blockSize)
   }
 
   /** Build a full index from id-free posting triples (url, term, tf) — the
@@ -174,8 +121,15 @@ object IndexBuild {
       it.map { r => val id = offB.value(pid) + local; local += 1; (id, r.getString(0)) }
     }.toDF("doc_id", "url")
 
-    val postings = seg.join(docmap, Seq("url"))
+    // docmap join: broadcast while the map fits executor memory (sub-10M
+    // docs ≈ <1 GB); beyond that fall back to a shuffle join (at 10^12 docs
+    // the production layout bucket-joins on url instead)
+    val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
+    val docmapSide = if (numDocs <= 10_000_000L) broadcast(docmap) else docmap
+    val postings = seg.join(docmapSide, Seq("url"))
       .select($"term", $"doc_id", $"tf").as[TermPosting]
+      .persist(StorageLevel.DISK_ONLY) // read by range-sampling, the blocks
+      // shuffle, and the dl aggregation — persist beats recomputing the join
     val blocks = postings
       .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
       .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
