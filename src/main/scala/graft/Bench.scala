@@ -43,7 +43,7 @@ object Bench {
 
   /** One index-build run at `cpus` threads: returns (buildSec, p95RefMs,
     * p95Bm25Ms, numPostingBlocks). */
-  private def scalingRun(cpus: Int, numDocs: Long): (Double, Double, Double, Long) = {
+  private def scalingRun(cpus: Int, numDocs: Long): (Double, Double, Double, Long, Seq[Double]) = {
     val spark = session(cpus)
     try {
       // warmup: small build first so JIT + codegen + class-load costs don't
@@ -55,13 +55,26 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
+      def timed[A](f: => A): (A, Double) = {
+        val s = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - s) / 1e9)
+      }
       val t0 = System.nanoTime()
-      val built = graft.index.IndexBuild.build(
+      // per-stage throughput metrics (north star): plan+ids / block encode /
+      // docs join / dictionary agg
+      val (built, planSec) = timed(graft.index.IndexBuild.build(
         spark, graft.corpus.Corpus.generate(spark, numDocs),
-        graft.corpus.Corpus.lexicon, parts = cpus)
-      val nBlocks = built.blocks.count()
-      built.docs.count(); built.dictionary.count()
+        graft.corpus.Corpus.lexicon, parts = cpus))
+      val (nBlocks, blocksSec) = timed(built.blocks.count())
+      val (_, docsSec) = timed(built.docs.count())
+      val (_, dictSec) = timed(built.dictionary.count())
       val buildSec = (System.nanoTime() - t0) / 1e9
+      // build() eagerly materializes the tokenized triples + url sort for id
+      // offsets; blocks.count() then runs the docmap join + range shuffle +
+      // varbyte encode
+      System.err.println(f"[bench-child $cpus] stages: tokenize+ids=$planSec%.1fs " +
+        f"join+blocks=$blocksSec%.1fs docs=$docsSec%.1fs dict=$dictSec%.1fs")
 
       val searcher = graft.query.Searcher.fromIndex(built, numDocs.toInt)
       def p95(f: String => Unit): Double = {
@@ -76,7 +89,7 @@ object Bench {
       }
       val pRef = p95(q => searcher.referenceTopK(q))
       val pBm = p95(q => searcher.bm25TopK(q, 10))
-      (buildSec, pRef, pBm, nBlocks)
+      (buildSec, pRef, pBm, nBlocks, Seq(planSec, blocksSec, docsSec, dictSec))
     } finally spark.stop()
   }
 
@@ -95,7 +108,7 @@ object Bench {
     * lo-vs-hi comparison, no cross-run GC pollution). Child prints one
     * whitespace-joined line: buildSec p95Ref p95Bm25 nBlocks. Returns those
     * plus the steal fraction observed during the run. */
-  private def forkScalingRun(cpus: Int, numDocs: Long): (Double, Double, Double, Long, Double) = {
+  private def forkScalingRun(cpus: Int, numDocs: Long): (Double, Double, Double, Long, Double, Seq[Double]) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -126,13 +139,14 @@ object Bench {
     val stealFrac =
       if (total1 > total0) (steal1 - steal0).toDouble / (total1 - total0) else 0.0
     val line = out.linesIterator.toSeq.last.trim.split("\\s+")
-    (line(0).toDouble, line(1).toDouble, line(2).toDouble, line(3).toLong, stealFrac)
+    (line(0).toDouble, line(1).toDouble, line(2).toDouble, line(3).toLong, stealFrac,
+      line.drop(4).map(_.toDouble).toSeq)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length == 3 && args(0) == "--scaling-child") {
-      val (b, pr, pb95, nb) = scalingRun(args(1).toInt, args(2).toLong)
-      println(s"$b $pr $pb95 $nb")
+      val (b, pr, pb95, nb, stages) = scalingRun(args(1).toInt, args(2).toLong)
+      println(s"$b $pr $pb95 $nb ${stages.mkString(" ")}")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,8 +178,8 @@ object Bench {
                           sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "16").toInt)
         val maxTries = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
         val stealCap = 0.02
-        def bestOf(cpus: Int): (Double, Double, Double, Long) = {
-          var runs = List.empty[(Double, Double, Double, Long, Double)]
+        def bestOf(cpus: Int): (Double, Double, Double, Long, Seq[Double]) = {
+          var runs = List.empty[(Double, Double, Double, Long, Double, Seq[Double])]
           var tries = 0
           // ≥2 runs always (single runs mislead even at low measured steal —
           // bursts shorter than the window slip under the gate); keep
@@ -178,16 +192,19 @@ object Bench {
             runs ::= res
           }
           val b = runs.minBy(_._1)
-          (b._1, runs.map(_._2).min, runs.map(_._3).min, b._4)
+          (b._1, runs.map(_._2).min, runs.map(_._3).min, b._4, b._6)
         }
-        val (loSec, loP95r, loP95b, _) = bestOf(loC)
-        val (hiSec, hiP95r, hiP95b, nBlocks) = bestOf(hiC)
+        def stagesJson(st: Seq[Double]): String =
+          if (st.length < 4) "null"
+          else f"""{"tokenize_ids_sec":${st(0)}%.3f,"join_blocks_sec":${st(1)}%.3f,"docs_sec":${st(2)}%.3f,"dict_sec":${st(3)}%.3f}"""
+        val (loSec, loP95r, loP95b, _, loStages) = bestOf(loC)
+        val (hiSec, hiP95r, hiP95b, nBlocks, hiStages) = bestOf(hiC)
         val thrLo = numDocs / loSec
         val thrHi = numDocs / hiSec
         val eff = (thrHi / thrLo) / (hiC.toDouble / loC)
         f"""{"num_docs":$numDocs,"blocks":$nBlocks,""" +
-          f""""local_$loC":{"build_sec":$loSec%.3f,"docs_per_sec":$thrLo%.1f,"p95_ref_ms":$loP95r%.2f,"p95_bm25_ms":$loP95b%.2f},""" +
-          f""""local_$hiC":{"build_sec":$hiSec%.3f,"docs_per_sec":$thrHi%.1f,"p95_ref_ms":$hiP95r%.2f,"p95_bm25_ms":$hiP95b%.2f},""" +
+          f""""local_$loC":{"build_sec":$loSec%.3f,"docs_per_sec":$thrLo%.1f,"p95_ref_ms":$loP95r%.2f,"p95_bm25_ms":$loP95b%.2f,"stages":${stagesJson(loStages)}},""" +
+          f""""local_$hiC":{"build_sec":$hiSec%.3f,"docs_per_sec":$thrHi%.1f,"p95_ref_ms":$hiP95r%.2f,"p95_bm25_ms":$hiP95b%.2f,"stages":${stagesJson(hiStages)}},""" +
           f""""scaling_efficiency":$eff%.3f}"""
       }
 
