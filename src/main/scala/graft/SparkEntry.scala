@@ -264,6 +264,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
              round(avg(col("l_quantity")), 4).as("avg_qty"))
     }),
+    // the query path as pure Dataset operations (broadcast dictionary,
+    // block-metadata pruning, fold-ordered summation) — bit-identical to the
+    // driver-side searcher (IndexSpec)
+    "q35_search_dataset" -> ((s, _) => {
+      val n = 1000
+      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
+        graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
+      graft.query.QueryOps.referenceTopK(s, built, "prince officer soldier", n)
+        .select(col("url"), round(col("score"), 6).as("score"))
+    }),
     "q33_dictionary" -> ((s, _) => {
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
         graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)

@@ -99,6 +99,18 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("Dataset-operations query path matches the driver-side searcher") {
+    val s = Searcher.fromIndex(built, numDocs)
+    for (q <- queries) {
+      val ds = graft.query.QueryOps.referenceTopK(spark, built, q, numDocs)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toList
+      val driver = s.referenceTopK(q)
+      // bit-identical: the Dataset path folds contributions in query-term
+      // order, exactly like the driver-side scorer
+      assert(ds == driver, s"results for '$q'")
+    }
+  }
+
   test("build is deterministic across parallelism levels") {
     val built8 = IndexBuild.build(spark, Corpus.generate(spark, numDocs),
       Corpus.lexicon, parts = 11, blockSize = 64)
