@@ -9,12 +9,14 @@ import org.apache.spark.sql.SparkSession
   *  1. `queries` — wall time per SparkEntry query on SPARK_GRAFT_SF_DIR at
   *     local[SPARK_GRAFT_CPUS] (the driver's cross-round comparable).
   *  2. `scaling` — the north-rule evidence: the SAME inverted-index build
-  *     (fixed synthetic corpus, fixed seed) at local[8] and local[32] on
-  *     identical input; docs/sec at both + efficiency
-  *     = (thr_hi/thr_lo)/(cores_hi/cores_lo), target ≥ 0.8. Shuffle
-  *     partitions scale with cores, as they would across cluster sizes.
-  *     Also BM25+reference query p95 (ms, driver-side serving, no Spark job
-  *     per query) over the built index.
+  *     (fixed synthetic corpus, fixed seed) at local[N] and local[4N]
+  *     (default 4 vs 16 — see BASELINE.md for why, and for the full
+  *     methodology: forked pinned JVMs, warmup, tmpfs shuffle, steal
+  *     gating) on identical input; docs/sec at both + per-stage timings +
+  *     efficiency = (thr_hi/thr_lo)/(cores_hi/cores_lo), target ≥ 0.8.
+  *     Shuffle partitions scale with cores, as they would across cluster
+  *     sizes. Also BM25+reference query p95 (ms, driver-side serving, no
+  *     Spark job per query) over the built index.
   * Skip scaling with SPARK_GRAFT_NO_SCALING=1 (CI smoke).
   */
 object Bench {

@@ -97,6 +97,27 @@ object IndexBuild {
     fromUrlTermTf(spark, triples, parts, blockSize)
   }
 
+  /** Persist the index artifacts under `dir` as Iceberg-layout tables.
+    * Blocks are written term-sorted within partitions so parquet row-group
+    * min/max stats prune per-term point lookups at serving time. */
+  def save(spark: SparkSession, built: BuiltIndex, dir: String): Unit = {
+    import graft.tables.TableIO
+    TableIO.write(built.docs.toDF(), s"$dir/docs", "index-docs")
+    TableIO.write(built.dictionary.toDF(), s"$dir/dictionary", "index-dictionary")
+    TableIO.write(built.blocks.sortWithinPartitions("term", "part_id", "seq").toDF(),
+      s"$dir/blocks", "index-blocks")
+  }
+
+  /** Reload persisted artifacts (current snapshot). */
+  def load(spark: SparkSession, dir: String): BuiltIndex = {
+    import spark.implicits._
+    import graft.tables.TableIO
+    BuiltIndex(
+      TableIO.read(spark, s"$dir/docs").as[DocMeta],
+      TableIO.read(spark, s"$dir/dictionary").as[DictEntry],
+      TableIO.read(spark, s"$dir/blocks").as[PostingBlock])
+  }
+
   /** Build a full index from id-free posting triples (url, term, tf) — the
     * shared "global merge" tail used by [[SegmentedIndex.merge]] and the
     * streaming ingest: dense url-ordered doc ids via partition offsets, then

@@ -275,13 +275,7 @@ object Searcher {
       avgdl, dlMin, docs.length.toLong)
   }
 
-  /** Load from persisted index artifacts (parquet dirs written by TableIO). */
-  def load(spark: SparkSession, dir: String, n: Int): Searcher = {
-    import spark.implicits._
-    val built = BuiltIndex(
-      spark.read.parquet(s"$dir/docs").as[graft.index.DocMeta],
-      spark.read.parquet(s"$dir/dictionary").as[DictEntry],
-      spark.read.parquet(s"$dir/blocks").as[PostingBlock])
-    fromIndex(built, n)
-  }
+  /** Load from index artifacts persisted by [[IndexBuild.save]]. */
+  def load(spark: SparkSession, dir: String, n: Int): Searcher =
+    fromIndex(IndexBuild.load(spark, dir), n)
 }

@@ -75,4 +75,18 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(manifest.forall(_.rows > 0))
     assert(manifest.map(_.partition).toSet.size == buckets)
   }
+
+  test("index save/load round-trip serves identical results") {
+    val dir = Files.createTempDirectory("idxsave").toString
+    val pages = Corpus.generate(spark, 150)
+    val built = IndexBuild.build(spark, pages, Corpus.lexicon, parts = 4, blockSize = 64)
+    IndexBuild.save(spark, built, dir)
+    val reloaded = Searcher.load(spark, dir, 150)
+    val direct = Searcher.fromIndex(built, 150)
+    for (q <- queries)
+      assert(reloaded.referenceTopK(q) == direct.referenceTopK(q), s"query '$q'")
+    // snapshot metadata exists for all three artifact tables
+    for (t <- Seq("docs", "dictionary", "blocks"))
+      assert(TableIO.currentSnapshotId(s"$dir/$t").contains(1L), t)
+  }
 }
