@@ -191,14 +191,16 @@ private[query] final class LongDoubleMap(expected: Int) {
   private val keys = new Array[Long](capacity)
   private val vals = new Array[Double](capacity)
   private val used = new Array[Boolean](capacity)
+  private val slots = new Array[Int](capacity) // dense list of used slots
   var size = 0
 
   /** Adds c to the accumulator for id; returns the new value. */
   def add(id: Long, c: Double): Double = {
     var i = ((id * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
     while (used(i) && keys(i) != id) i = (i + 1) & mask
-    if (!used(i)) { used(i) = true; keys(i) = id; vals(i) = c; size += 1; c }
-    else { vals(i) += c; vals(i) }
+    if (!used(i)) {
+      used(i) = true; keys(i) = id; vals(i) = c; slots(size) = i; size += 1; c
+    } else { vals(i) += c; vals(i) }
   }
 
   /** (k-th largest value, (k+1)-th largest or 0) via a primitive size-(k+1)
@@ -227,14 +229,12 @@ private[query] final class LongDoubleMap(expected: Int) {
         else { val t = heap(j); heap(j) = heap(m); heap(m) = t; j = m }
       }
     }
-    var i = 0
-    while (i < capacity) {
-      if (used(i)) {
-        val v = vals(i)
-        if (hSize < cap) { heap(hSize) = v; siftUp(hSize); hSize += 1 }
-        else if (v > heap(0)) { heap(0) = v; siftDown() }
-      }
-      i += 1
+    var s = 0
+    while (s < size) { // dense slot list: O(size), not O(capacity)
+      val v = vals(slots(s))
+      if (hSize < cap) { heap(hSize) = v; siftUp(hSize); hSize += 1 }
+      else if (v > heap(0)) { heap(0) = v; siftDown() }
+      s += 1
     }
     if (hSize <= k) (heap(0), 0.0)
     else {
@@ -248,10 +248,11 @@ private[query] final class LongDoubleMap(expected: Int) {
 
   def collectAtLeast(cutoff: Double): mutable.ArrayBuffer[(Long, Double)] = {
     val out = new mutable.ArrayBuffer[(Long, Double)]()
-    var i = 0
-    while (i < capacity) {
-      if (used(i) && vals(i) >= cutoff) out += ((keys(i), vals(i)))
-      i += 1
+    var s = 0
+    while (s < size) {
+      val i = slots(s)
+      if (vals(i) >= cutoff) out += ((keys(i), vals(i)))
+      s += 1
     }
     out
   }
