@@ -83,6 +83,48 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — deterministic fake in place of a real image scaler:
+    * rewrites the fake header to the target dims and subsamples the payload
+    * proportionally. Real implementation would decode→scale→re-encode. */
+  def resizeStub(media: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.wrap(media)
+    val kind = bb.getInt(0); val ow = bb.getInt(4); val oh = bb.getInt(8)
+    val sr = bb.getInt(12)
+    val payload = media.drop(16)
+    val scaled = (payload.length.toLong * (w * h) / math.max(1, ow * oh)).toInt
+    val keep = math.min(math.max(1, scaled), payload.length)
+    val out = java.nio.ByteBuffer.allocate(16 + keep)
+    out.putInt(kind).putInt(w).putInt(h).putInt(sr)
+    out.put(payload, 0, keep)
+    out.array()
+  }
+
+  /** Resize a whole asset table (partition-batched, like extractFeatures). */
+  def resizeAll(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(a =>
+      a.copy(media = resizeStub(a.media, w, h), width = w, height = h)))
+  }
+
+  /** STUB frame sampling — deterministic fake in place of a video/audio
+    * frame extractor: cuts the payload into `frames` equal strips and
+    * returns one pseudo-frame row per strip (the Spark-side shape of
+    * mapInPandas-style frame explosion: one input row → many frame rows). */
+  def sampleFrames(assets: Dataset[MediaAsset], frames: Int): Dataset[(Long, Int, Array[Byte])] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      val payload = a.media.drop(16)
+      val stride = math.max(1, payload.length / frames)
+      (0 until frames).iterator.map { f =>
+        val lo = math.min(f * stride, payload.length)
+        val hi = math.min(lo + stride, payload.length)
+        (a.asset_id, f, java.util.Arrays.copyOfRange(payload, lo, hi))
+      }
+    }
+  }
+
   /** Metadata-only stats (media column pruned — the scan must not read the
     * bytes; verified in MultimodalSpec via the physical plan's ReadSchema
     * when the table is on parquet). */

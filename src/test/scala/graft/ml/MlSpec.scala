@@ -112,6 +112,23 @@ class MlSpec extends AnyFunSuite {
     assert(a != TextAnalysis.rollingFingerprint("alpha beta"))
   }
 
+  test("multimodal resize + frame sampling stubs keep the plumbing shape") {
+    val assets = Multimodal.generateAssets(spark, 30)
+    val resized = Multimodal.resizeAll(assets, 32, 32).collect()
+    assert(resized.forall(a => a.width == 32 && a.height == 32))
+    for (a <- resized) {
+      val (w, h, _, _) = Multimodal.decodeStub(a.media)
+      assert(w == 32 && h == 32, "resized header must round-trip through decode")
+    }
+    // frame explosion: one row in → `frames` rows out, deterministic bytes
+    val frames = Multimodal.sampleFrames(assets, 4).collect()
+    assert(frames.length == 30 * 4)
+    assert(frames.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(0 until 4)))
+    val again = Multimodal.sampleFrames(Multimodal.generateAssets(spark, 30), 4).collect()
+    assert(frames.sortBy(f => (f._1, f._2)).zip(again.sortBy(f => (f._1, f._2)))
+      .forall { case (a, b) => a._3.sameElements(b._3) })
+  }
+
   test("multimodal feature extraction is deterministic with pruned metadata scan") {
     val assets = Multimodal.generateAssets(spark, 50)
     val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
