@@ -178,7 +178,7 @@ object Bench {
         // the best run is reported.
         val (loC, hiC) = (sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt,
                           sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "16").toInt)
-        val maxTries = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+        val maxTries = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
         val stealCap = 0.02
         def bestOf(cpus: Int): (Double, Double, Double, Long, Seq[Double]) = {
           var runs = List.empty[(Double, Double, Double, Long, Double, Seq[Double])]
