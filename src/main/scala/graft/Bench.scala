@@ -158,8 +158,14 @@ object Bench {
     val spark = session(cpus)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      // -1 is the explicit error marker — a failed query must never read as
+      // a fast success in the round-over-round comparison
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-22s $dt%8.2fs")
       name -> dt
     }

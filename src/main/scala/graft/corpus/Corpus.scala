@@ -194,4 +194,36 @@ object Corpus {
   /** Local (driver-side) generation for the oracle and unit tests. */
   def generateLocal(numDocs: Long, numHosts: Int = 16, seed: Long = 42L): Seq[Page] =
     (0L until numDocs).map(i => makePage(i, numDocs, numHosts, seed))
+
+  /** Adversarial pages for the scorer's url hygiene filter
+    * (reference backend/Backend.java:268-273, 317-324): urls that URL-decode
+    * to something that must be kept (%20, '+'), skipped (embedded or
+    * %-escaped quote, control char, the literal "null"), or that make
+    * URLDecoder THROW (malformed escape) — which the reference's catch turns
+    * into an empty posting list for the whole term. Used by IndexSpec
+    * alongside the clean corpus; NOT part of [[generate]] so driver-facing
+    * query results stay stable. */
+  def adversarialPages: Seq[Page] = {
+    def page(url: String, i: Int, body: String): Page = {
+      val html = s"<html><head><title>telescope</title></head><body><p>$body</p></body></html>"
+      Page(url, new Timestamp(epochBase + 10_000_000L + i * 1000L),
+        html.getBytes("UTF-8"), Text.extractText(html), "en")
+    }
+    Seq(
+      // kept: decodes to a url with a space
+      page("http://adv.example/a%20b/doc1", 0, "telescope observation observation"),
+      // kept: '+' decodes to a space (URLDecoder form-decoding quirk)
+      page("http://adv.example/plus+path", 1, "telescope discovery"),
+      // skipped: decoded url contains a double quote (literal)
+      page("http://adv.example/q\"uote", 2, "telescope orbit orbit orbit"),
+      // skipped: %22 decodes TO a double quote
+      page("http://adv.example/esc%22quote", 3, "telescope gravity"),
+      // skipped: the literal string "null"
+      page("null", 4, "telescope comet comet"),
+      // skipped: control char in the url
+      page("http://adv.example/ctl\u0001x", 5, "telescope nebula"),
+      // THROWS in URLDecoder (malformed escape): the reference's catch
+      // empties the ENTIRE posting list of every term this doc contains
+      page("http://adv.example/bad%zzescape", 6, "telescope asteroid expedition"))
+  }
 }

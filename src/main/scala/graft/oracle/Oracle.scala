@@ -109,14 +109,23 @@ object Oracle {
         val idf = customLog(500.0, (n / df).toDouble) // Java int division N/df
         if (idf == 0.0) return IndexedSeq.empty       // Backend.java:254-258
         val out = mutable.ArrayBuffer.empty[(String, Double)]
-        var i = 0
-        while (i < posts.length && out.length < 200) {
-          val p = posts(i)
-          // url filter (Backend.java:268-273): decode handled upstream; our
-          // urls contain no %-escapes/quotes/control chars by construction
-          out += ((p.url, p.tfn * idf * stemFactor))
-          i += 1
-        }
+        try {
+          var i = 0
+          while (i < posts.length && out.length < 200) {
+            val p = posts(i)
+            // url hygiene filter (Backend.java:268-273): URL-decode, skip
+            // empty/"null"/quoted/control-char urls BEFORE the 200-cap
+            // counts; a malformed %-escape throws out of the loop and the
+            // reference's catch returns an empty list for the whole term
+            // (Backend.java:309-313). The decoded url is the combine key.
+            val url = java.net.URLDecoder.decode(p.url.trim, "UTF-8")
+            if (url != null && url.nonEmpty && url != "null" &&
+                !url.contains("\"") && !url.exists(_ < ' ')) {
+              out += ((url, p.tfn * idf * stemFactor))
+            }
+            i += 1
+          }
+        } catch { case _: Exception => return IndexedSeq.empty }
         out.toIndexedSeq
     }
   }

@@ -53,7 +53,7 @@ final class Searcher(val n: Int,
           if (s != t) Some((s, true)) else None
         }
 
-    val tfidfMap = mutable.LinkedHashMap.empty[String, IndexedSeq[(Long, Double)]]
+    val tfidfMap = mutable.LinkedHashMap.empty[String, IndexedSeq[(String, Double)]]
     for ((term, isStem) <- expanded if term.nonEmpty) {
       val list = termTfidf(term, isStem)
       if (list.nonEmpty) tfidfMap.put(term, list)
@@ -61,8 +61,7 @@ final class Searcher(val n: Int,
     if (tfidfMap.isEmpty) return Nil
 
     val combined = mutable.TreeMap.empty[String, Double]
-    for ((_, list) <- tfidfMap; (docId, tfidf) <- list) {
-      val url = urlOf(docId)
+    for ((_, list) <- tfidfMap; (url, tfidf) <- list) {
       val s = pagerank match {
         case None     => 1.0 * tfidf
         case Some(pr) => 0.7 * tfidf + 0.3 * pr(url)
@@ -72,28 +71,44 @@ final class Searcher(val n: Int,
     combined.toList.sortBy { case (_, s) => -s }.take(200)
   }
 
-  /** Per-term (docId, tfidf) in serving order, ≤200 — Backend.getTFIDF. */
-  private def termTfidf(term: String, isStem: Boolean): IndexedSeq[(Long, Double)] = {
+  /** Per-term (decodedUrl, tfidf) in serving order, ≤200 — Backend.getTFIDF
+    * (Backend.java:205-314) including its per-posting url hygiene filter
+    * (Backend.java:268-273): the stored url is URL-decoded
+    * (`URLDecoder.decode(url.trim(), "UTF-8")`) and the posting is SKIPPED —
+    * before it counts toward the 200-cap — when the decoded url is empty,
+    * the literal string "null", contains a double quote, or contains a
+    * control char (< 0x20, `checkControlChar` Backend.java:317-324). A
+    * malformed %-escape makes URLDecoder throw, which the reference's
+    * enclosing catch turns into an EMPTY list for the whole term
+    * (Backend.java:309-313) — replicated bug-for-bug. The decoded url is
+    * also the key postings combine under downstream. */
+  private def termTfidf(term: String, isStem: Boolean): IndexedSeq[(String, Double)] = {
     val stemFactor = if (isStem) 0.7 else 1.0
     dict.get(term) match {
       case None => IndexedSeq.empty
       case Some(d) =>
         val idf = math.log((n / d.df).toDouble) / math.log(500.0) // Java int division
         if (idf == 0.0) return IndexedSeq.empty
-        val out = mutable.ArrayBuffer.empty[(Long, Double)]
-        val blocks = blocksByTerm.getOrElse(term, IndexedSeq.empty)
-        var bi = 0
-        while (bi < blocks.length && out.length < 200) {
-          val decoded = IndexBuild.decodeBlock(blocks(bi))
-          var i = 0
-          while (i < decoded.length && out.length < 200) {
-            val (docId, tf) = decoded(i)
-            val tfn = 0.4 + 0.6 * tf / d.max_tf // exact reference double math
-            out += ((docId, tfn * idf * stemFactor))
-            i += 1
+        val out = mutable.ArrayBuffer.empty[(String, Double)]
+        try {
+          val blocks = blocksByTerm.getOrElse(term, IndexedSeq.empty)
+          var bi = 0
+          while (bi < blocks.length && out.length < 200) {
+            val decoded = IndexBuild.decodeBlock(blocks(bi))
+            var i = 0
+            while (i < decoded.length && out.length < 200) {
+              val (docId, tf) = decoded(i)
+              val url = java.net.URLDecoder.decode(urlOf(docId).trim, "UTF-8")
+              if (url != null && url.nonEmpty && url != "null" &&
+                  !url.contains("\"") && !Searcher.hasControlChar(url)) {
+                val tfn = 0.4 + 0.6 * tf / d.max_tf // exact reference double math
+                out += ((url, tfn * idf * stemFactor))
+              }
+              i += 1
+            }
+            bi += 1
           }
-          bi += 1
-        }
+        } catch { case _: Exception => return IndexedSeq.empty } // Backend.java:309-313
         out.toIndexedSeq
     }
   }
@@ -104,7 +119,15 @@ final class Searcher(val n: Int,
     * order per term, any doc's best reachable score is its accumulated
     * score + the sum of remaining per-term upper bounds (block-max tf at the
     * corpus-min dl); terminate when that cannot displace the current k-th
-    * best. Decodes in stored doc order (no serving-order walk needed). */
+    * best. Decodes in stored doc order (no serving-order walk needed).
+    *
+    * Scores are EXACT (identical to exhaustive BM25), not lower bounds:
+    * after the stop rule fires, the guaranteed-final top-k candidate set is
+    * finished against every remaining block (accumulating only survivor
+    * ids), so both the returned set AND the returned scores/order equal the
+    * exhaustive computation. The stop rule's strict inequality guarantees no
+    * non-survivor can reach the k-th final score, so the early exit only
+    * skips accumulator work for docs that cannot appear in the result. */
   def bm25TopK(query: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): List[(String, Double)] = {
     val terms = (Text.parseQuery(query).toSet.flatMap { (t: String) =>
       Set(t, PorterStemmer.stem(t))
@@ -126,9 +149,10 @@ final class Searcher(val n: Int,
     }.toArray
 
     // primitive open-addressing accumulator (no boxing in the hot loop);
-    // capacity from the dictionary's df sum — known before any decode
+    // capacity hint from the dictionary's df sum — Long math (a web-scale df
+    // sum overflows Int), clamped: the map resizes itself past the hint
     val dfSum = terms.iterator.map(t => dict(t).df).sum
-    val acc = new LongDoubleMap(dfSum.toInt.max(64))
+    val acc = new LongDoubleMap(dfSum)
 
     var maxAcc = 0.0
     var blocksSinceCheck = 0
@@ -167,6 +191,34 @@ final class Searcher(val n: Int,
         }
       }
     }
+    // ---- finish pass: exact scores for the guaranteed top-k set ----
+    // The stop rule proved every doc outside the current top-k stays below
+    // the k-th FINAL score, so the result SET is fixed — but members of it
+    // may still have pending postings in undecoded blocks. Decode every
+    // remaining block, accumulating only survivor ids (sorted-array binary
+    // search, no boxing): scores become exactly the exhaustive BM25 values.
+    if (states.exists(st => st.next < st.blocks.length)) {
+      val survCut = if (acc.size <= k) Double.NegativeInfinity else acc.kthAndNext(k)._1
+      val survivors = acc.collectAtLeast(survCut).map(_._1).toArray
+      java.util.Arrays.sort(survivors)
+      var si = 0
+      while (si < states.length) {
+        val st = states(si)
+        while (st.next < st.blocks.length) {
+          val blk = st.blocks(st.next)
+          st.next += 1
+          val (ids, tfs) = IndexBuild.decodeBlockDocOrder(blk)
+          var j = 0
+          while (j < ids.length) {
+            if (java.util.Arrays.binarySearch(survivors, ids(j)) >= 0)
+              acc.add(ids(j), contribution(st.idf, tfs(j), dlOf(ids(j))))
+            j += 1
+          }
+        }
+        si += 1
+      }
+    }
+
     // select candidates ≥ k-th score first (primitive pass), THEN sort the
     // small survivor set with the url tie-break — avoids sorting the full
     // accumulator table
@@ -180,25 +232,65 @@ final class Searcher(val n: Int,
 }
 
 /** Minimal open-addressing long→double accumulator (linear probing,
-  * power-of-two capacity, no boxing) for the BM25 hot loop. */
-private[query] final class LongDoubleMap(expected: Int) {
-  private val capacity: Int = {
+  * power-of-two capacity, no boxing) for the BM25 hot loop.
+  *
+  * `expected` is a HINT, taken as a Long because at web scale a df sum
+  * exceeds Int.MaxValue — the old `dfSum.toInt` sizing overflowed to a tiny
+  * capacity there, and a full fixed-size table turned the linear probe into
+  * an infinite loop. Capacity is now clamped to [64, 2^30] and the table
+  * RESIZES (doubling rehash) at 70% load, so any expected value is safe; a
+  * genuinely >2^30-entry accumulation throws instead of spinning. */
+private[query] final class LongDoubleMap(expected: Long) {
+  private val MaxCapacity = 1 << 30
+  // pre-size only up to 2^20 slots — beyond that let the resize path grow on
+  // demand (a huge df-sum hint must not eagerly allocate gigabytes)
+  private var capacity: Int = {
+    val target = math.min(math.max(expected, 32L) * 2L, (1 << 20).toLong)
     var c = 64
-    while (c < expected * 2) c <<= 1
+    while (c < target) c <<= 1
     c
   }
-  private val mask = capacity - 1
-  private val keys = new Array[Long](capacity)
-  private val vals = new Array[Double](capacity)
-  private val used = new Array[Boolean](capacity)
-  private val slots = new Array[Int](capacity) // dense list of used slots
+  private var mask = capacity - 1
+  private var keys = new Array[Long](capacity)
+  private var vals = new Array[Double](capacity)
+  private var used = new Array[Boolean](capacity)
+  private var slots = new Array[Int](capacity) // dense list of used slots
   var size = 0
+
+  private def grow(): Unit = {
+    if (capacity == MaxCapacity)
+      throw new IllegalStateException(
+        s"LongDoubleMap full at max capacity $MaxCapacity — accumulator set too large for one node")
+    val oldKeys = keys; val oldVals = vals; val oldSlots = slots; val oldSize = size
+    capacity <<= 1; mask = capacity - 1
+    keys = new Array[Long](capacity)
+    vals = new Array[Double](capacity)
+    used = new Array[Boolean](capacity)
+    slots = new Array[Int](capacity)
+    size = 0
+    var s = 0
+    while (s < oldSize) {
+      val oi = oldSlots(s)
+      insertFresh(oldKeys(oi), oldVals(oi))
+      s += 1
+    }
+  }
+
+  private def insertFresh(id: Long, v: Double): Unit = {
+    var i = ((id * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+    while (used(i)) i = (i + 1) & mask
+    used(i) = true; keys(i) = id; vals(i) = v; slots(size) = i; size += 1
+  }
 
   /** Adds c to the accumulator for id; returns the new value. */
   def add(id: Long, c: Double): Double = {
     var i = ((id * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
     while (used(i) && keys(i) != id) i = (i + 1) & mask
     if (!used(i)) {
+      if ((size + 1) * 10L > capacity * 7L) { // 70% load → double + rehash
+        grow()
+        return add(id, c)
+      }
       used(i) = true; keys(i) = id; vals(i) = c; slots(size) = i; size += 1; c
     } else { vals(i) += c; vals(i) }
   }
@@ -259,6 +351,16 @@ private[query] final class LongDoubleMap(expected: Int) {
 }
 
 object Searcher {
+
+  /** Backend.checkControlChar (Backend.java:317-324): any char < 0x20. */
+  private[query] def hasControlChar(url: String): Boolean = {
+    var i = 0
+    while (i < url.length) {
+      if (url.charAt(i) < 32) return true
+      i += 1
+    }
+    false
+  }
 
   /** Collect the built artifacts to the driver (test/serving-node scale). */
   def fromIndex(built: BuiltIndex, n: Int): Searcher = {

@@ -95,6 +95,18 @@ object TableIO {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Snapshot metadata row (operation, schema DDL, parent pointer). */
+  def snapshotMeta(spark: SparkSession, dir: String, snapshotId: Long): Option[SnapshotMeta] = {
+    val p = metaDir(dir).resolve(s"snapshot-$snapshotId-meta.json")
+    if (!Files.exists(p)) None
+    else {
+      import spark.implicits._
+      spark.read
+        .schema("snapshot_id BIGINT, parent_id BIGINT, operation STRING, schema_ddl STRING")
+        .json(p.toString).as[SnapshotMeta].collect().headOption
+    }
+  }
+
   /** Files of a snapshot (default: current). */
   def manifest(spark: SparkSession, dir: String,
                snapshotId: Option[Long] = None): Seq[FileEntry] = {
@@ -136,8 +148,11 @@ object TableIO {
     val dataDir = Paths.get(dir, "data", s"snap-$snapId")
     Files.createDirectories(dataDir)
 
+    var rebuiltSchemaDdl: Option[String] = None
     if (rebuild.nonEmpty) {
-      compute(rebuild).write.mode(SaveMode.Overwrite)
+      val computed = compute(rebuild)
+      rebuiltSchemaDdl = Some(computed.schema.toDDL)
+      computed.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(dataDir.toString)
     }
     // carry over unchanged partitions from the parent snapshot via hard links
@@ -150,9 +165,11 @@ object TableIO {
         Files.createLink(dstDir.resolve(src.getFileName), src)
       }
     }
-    val schemaDdl =
-      if (rebuild.nonEmpty) "" // recorded lazily; schema identical across snapshots
-      else ""
+    // schema lineage: the rebuilt DataFrame's DDL, or — when everything was
+    // reused via hard links — the parent snapshot's recorded schema
+    val schemaDdl = rebuiltSchemaDdl.getOrElse(
+      currentSnapshotId(dir).flatMap(p => snapshotMeta(spark, dir, p))
+        .map(_.schema_ddl).getOrElse(""))
     commitExisting(spark, dir, snapId, operation, schemaDdl, Some(partitionCol),
       inputFingerprints)
     (snapId, rebuild, reuse)

@@ -124,6 +124,31 @@ class IndexSpec extends AnyFunSuite {
     assert(d5 == d8)
   }
 
+  test("url hygiene filter matches reference semantics on adversarial urls") {
+    import spark.implicits._
+    // clean corpus + pages whose urls URL-decode to kept (space, '+'),
+    // skipped (quote, %22, "null", control char), or THROWING (malformed
+    // escape — empties the whole term's posting list, Backend.java:309-313)
+    val pages = Corpus.generateLocal(80) ++ Corpus.adversarialPages
+    val oracleIdx = Oracle.buildIndex(
+      pages.map(p => (p.url, new String(p.html, "UTF-8"))), Corpus.lexicon)
+    val b = IndexBuild.build(spark, spark.createDataset(pages), Corpus.lexicon,
+      parts = 3, blockSize = 64)
+    val qs = Seq("telescope", "observation comet", "nebula gravity", "asteroid",
+      "telescope discovery orbit", "expedition", "observation") ++ queries.take(5)
+    for (n <- Seq(pages.length, 300000)) {
+      val s = Searcher.fromIndex(b, n)
+      for (q <- qs)
+        assert(s.referenceTopK(q) == Oracle.score(q, n, oracleIdx),
+          s"adversarial query '$q' at N=$n")
+    }
+    // kept rows surface under their DECODED url (space, not %20)
+    val s = Searcher.fromIndex(b, 300000)
+    val obs = s.referenceTopK("observation").map(_._1)
+    assert(obs.contains("http://adv.example/a b/doc1"))
+    assert(!obs.exists(_.contains("%20")))
+  }
+
   test("bm25 block-max path agrees with exhaustive scoring") {
     val s = Searcher.fromIndex(built, numDocs)
     // exhaustive: same formula, no pruning, via oracle-side recompute

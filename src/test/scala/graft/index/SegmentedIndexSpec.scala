@@ -74,6 +74,15 @@ class SegmentedIndexSpec extends AnyFunSuite {
     val manifest = TableIO.manifest(spark, dir, Some(r3.snapshotId))
     assert(manifest.forall(_.rows > 0))
     assert(manifest.map(_.partition).toSet.size == buckets)
+
+    // schema lineage: every snapshot records a non-empty schema DDL — the
+    // all-reused snapshot (r2) inherits its parent's
+    for (snap <- Seq(r1, r2, r3)) {
+      val meta = TableIO.snapshotMeta(spark, dir, snap.snapshotId)
+      assert(meta.exists(_.schema_ddl.nonEmpty), s"snapshot ${snap.snapshotId} schema_ddl")
+    }
+    assert(TableIO.snapshotMeta(spark, dir, r1.snapshotId).get.schema_ddl ==
+           TableIO.snapshotMeta(spark, dir, r2.snapshotId).get.schema_ddl)
   }
 
   test("index save/load round-trip serves identical results") {

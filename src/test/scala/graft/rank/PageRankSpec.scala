@@ -65,4 +65,31 @@ class PageRankSpec extends AnyFunSuite {
     for ((u, e) <- expected) assert(math.abs(gotMap(u) - e) < 1e-9, s"rank($u)")
     assert(iters > 1, "corpus should take multiple iterations to converge")
   }
+
+  test("hashed-id iteration is rank-identical to the url-keyed path") {
+    val n = 120
+    val state0 = PageRank.init(spark, Corpus.generate(spark, n))
+    val (urlKeyed, it1) = PageRank.run(spark, state0, 0.01, 0.8)
+    val (hashed, it2) = PageRank.runHashed(spark, state0, 0.01, 0.8)
+    assert(it1 == it2)
+    val a = urlKeyed.collect().map(r => r.url -> r.rank).toMap
+    val b = hashed.collect().map(r => r.url -> r.rank).toMap
+    assert(a.keySet == b.keySet)
+    for ((u, e) <- a) assert(math.abs(b(u) - e) < 1e-9, s"rank($u)")
+  }
+
+  test("init collapses urls that normalize to the same node (no double mass)") {
+    import spark.implicits._
+    // explicit :80 twin of a.ex/p → same normalized node; without dedupe the
+    // inner join fans out and B receives A's contribution twice
+    val withTwin = fixture :+
+      ("http://a.ex:80/p" -> """<a href="http://b.ex/p">b</a>""")
+    val pages = spark.createDataset(toPages(withTwin))
+    val state0 = PageRank.init(spark, pages)
+    assert(state0.count() == 5, "twin must collapse to one node row")
+    val (got, _) = PageRank.run(spark, state0, 1e18, 0.0, maxIter = 1)
+    val gotMap = got.collect().map(r => r.url -> r.rank).toMap
+    // identical to the no-twin fixture after 1 iteration
+    assert(math.abs(gotMap("http://b.ex:80/p") - (0.85 * (1.0 + 1.0 / 3) + 0.15)) < 1e-12)
+  }
 }
