@@ -22,10 +22,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     searchQuery(spark, numDocs = 500, query = "galaxy engine search")
 
+  /** Oracle-input aux tables: queries whose inputs are generated in-flight
+    * (synthetic corpus, LSH bucket assignments, link graph) dump those
+    * DETERMINISTIC inputs here so the DuckDB oracle can recompute the result
+    * independently via read_parquet. These are inputs, not results — the SQL
+    * re-derives every downstream step (ids, serving order, scoring, top-k). */
+  val AuxDir = "/tmp/graft_aux"
+
+  private def dumpAux(df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/$name")
+
+  /** (url, term, tf) tokenizer triples of the n-doc seed-42 corpus — the
+    * oracle input for the search/dictionary queries. Tokenization itself is
+    * verified byte-identically against the COMPILED reference classes in
+    * TextSpec; the SQL oracle independently recomputes everything the
+    * distributed engine does downstream of tokenize. */
+  private def dumpTriples(s: SparkSession, n: Int, name: String): Unit = {
+    import s.implicits._
+    val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
+    val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
+      graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+        .iterator.collect { case (t, tf) if t.length <= 100 => (p.url, t, tf) }
+    }.toDF("url", "term", "tf")
+    dumpAux(triples, name)
+  }
+
   /** Build the index over an n-doc synthetic corpus and run one reference-
     * scored query, returning (rank, url, score) rows. */
-  private def searchQuery(spark: SparkSession, numDocs: Int, query: String): DataFrame = {
+  private def searchQuery(spark: SparkSession, numDocs: Int, query: String,
+                          dumpName: Option[String] = None): DataFrame = {
     import spark.implicits._
+    dumpName.foreach(nm => dumpTriples(spark, numDocs, nm))
     val built = graft.index.IndexBuild.build(
       spark, graft.corpus.Corpus.generate(spark, numDocs), graft.corpus.Corpus.lexicon,
       parts = spark.sparkContext.defaultParallelism)
@@ -34,6 +61,108 @@ object SparkEntry {
     spark.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
       (i + 1, url, math.rint(score * 1e6) / 1e6)
     }).toDF("rank", "url", "score")
+  }
+
+  /** Query-term expansion with reference semantics (surface terms first,
+    * stems appended, LinkedHashMap put-overwrite) → (term, factor, qidx).
+    * Shared by the oracle-SQL generators so the SQL carries exactly the
+    * weights the engine uses. */
+  private def refTermWeights(query: String): Seq[(String, Double, Int)] = {
+    val surface = graft.text.Text.parseQuery(query)
+    val expanded = surface.map(t => (t, false)) ++ surface.flatMap { t =>
+      val st = graft.text.PorterStemmer.stem(t)
+      if (st != t) Some((st, true)) else None
+    }
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((t, isStem) <- expanded if t.nonEmpty) m.put(t, if (isStem) 0.7 else 1.0)
+    m.toSeq.zipWithIndex.map { case ((t, f), i) => (t, f, i) }
+  }
+
+  /** DuckDB SQL for the full reference scorer over a dumped triples table.
+    * Every fractional literal is e-notation (DuckDB decimal-point literals
+    * are DECIMAL, not DOUBLE — e0 forces the exact double math the engine
+    * uses). Summation per url is an ORDERED fold in query-term order
+    * (list_reduce over list(... ORDER BY qidx)) — bit-identical to the
+    * driver-side scorer's sequential accumulation. Corpus urls are clean by
+    * construction, so the Backend url-decode filter is the identity here
+    * (adversarial urls are covered by IndexSpec against the in-repo oracle). */
+  private def refSearchSql(query: String, n: Int, triplesName: String,
+                           withRank: Boolean): String = {
+    val vals = refTermWeights(query)
+      .map { case (t, f, i) => s"('$t', ${f}e0, $i)" }.mkString(", ")
+    val select =
+      if (withRank)
+        """SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rank, url,
+           round_even(score * 1e6, 0) / 1e6 AS score
+           FROM comb ORDER BY score DESC, url ASC LIMIT 200"""
+      else
+        "SELECT url, round(score, 6) AS score FROM comb ORDER BY score DESC, url ASC LIMIT 200"
+    s"""WITH t(term, factor, qidx) AS (VALUES $vals),
+       tr AS (SELECT * FROM read_parquet('$AuxDir/$triplesName/*.parquet')),
+       dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
+       posts AS (
+         SELECT tr.url, tr.tf, d.df, d.max_tf, t.factor, t.qidx,
+                row_number() OVER (PARTITION BY tr.term
+                                   ORDER BY tr.tf DESC, tr.url ASC) AS rnk
+         FROM tr JOIN dict d USING (term) JOIN t USING (term)),
+       scored AS (
+         SELECT url, qidx,
+                (0.4e0 + 0.6e0 * tf / max_tf) * (ln(($n // df)) / ln(500)) * factor AS s
+         FROM posts
+         WHERE rnk <= 200 AND ($n // df) > 1),
+       comb AS (
+         SELECT url, list_reduce(list(s ORDER BY qidx), (a, b) -> a + b) AS score
+         FROM scored GROUP BY url)
+       $select"""
+  }
+
+  /** DuckDB SQL for exhaustive BM25(k1=1.2, b=0.75) over a dumped triples
+    * table (the engine's block-max path returns exactly these scores — the
+    * finish pass makes early termination score-exact). */
+  private def bm25Sql(query: String, k: Int, triplesName: String): String = {
+    val terms = graft.text.Text.parseQuery(query).toSet
+      .flatMap((t: String) => Set(t, graft.text.PorterStemmer.stem(t)))
+      .toSeq.sorted
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tr AS (SELECT * FROM read_parquet('$AuxDir/$triplesName/*.parquet')),
+       docs AS (SELECT url, sum(tf) AS dl FROM tr GROUP BY url),
+       stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*) AS nd FROM docs),
+       dict AS (SELECT term, count(*) AS df FROM tr GROUP BY term),
+       contrib AS (
+         SELECT tr.url,
+                ln((s.nd - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+                  * (tr.tf * (1.2e0 + 1)) / (tr.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dc.dl / s.avgdl)) AS c
+         FROM tr
+         JOIN dict d USING (term)
+         JOIN docs dc USING (url)
+         CROSS JOIN stats s
+         WHERE tr.term IN ($inList)),
+       scored AS (SELECT url, sum(c) AS score FROM contrib GROUP BY url)
+       SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rank, url,
+              round_even(score * 1e6, 0) / 1e6 AS score
+       FROM scored ORDER BY score DESC, url ASC LIMIT $k"""
+  }
+
+  /** DuckDB SQL for fixed-iteration PageRank over the dumped link graph:
+    * one CTE per iteration (reference algebra: keep-alive, 0.85·rank/outdeg,
+    * inner-join dangling drop, +0.15 flat offset). */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT url FROM read_parquet('$AuxDir/q32_nodes/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('$AuxDir/q32_edges/*.parquet')),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         live AS (SELECT e.src, e.dst FROM edges e JOIN nodes nn ON e.dst = nn.url),
+         r0 AS (SELECT url, 1.0e0 AS rank FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""", r$i AS (
+         SELECT n.url, coalesce(s.mass, 0.0e0) + 0.15e0 AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT l.dst AS url, sum(0.85e0 * r.rank / d.outdeg) AS mass
+           FROM live l JOIN r${i - 1} r ON l.src = r.url JOIN deg d ON d.src = l.src
+           GROUP BY l.dst) s ON n.url = s.url)"""
+    }.mkString
+    head + iterCtes +
+      s" SELECT url, round_even(rank * 1e6, 0) / 1e6 AS rank FROM r$iters"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,18 +340,33 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
     }),
+    // IVF probe + top-k; the routing table and probe set are dumped as
+    // oracle inputs, the SQL recomputes the probed top-k independently
     "q26_ann_ivf" -> ((s, d) => {
+      import s.implicits._
       val emb = t(s, d, "embeddings")
       val cents = graft.ml.Ann.centroids(emb, "embedding", c = 8)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
       val assigned = graft.ml.Ann.ivfAssign(emb.filter(col("vec_id") > 0), "vec_id", "embedding", cents)
-      graft.ml.Ann.ivfTopK(assigned, "vec_id", q, cents, k = 10, nProbe = 3)
-        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      val probes = graft.ml.Ann.probeSet(cents, q, nProbe = 3)
+      dumpAux(assigned.select(col("vec_id"), col("centroid")), "q26_assigned")
+      dumpAux(probes.toDF("centroid"), "q26_probe")
+      assigned.filter(col("centroid").isin(probes: _*))
+        .select(col("vec_id"),
+          round(graft.ml.Dedup.cosineCol(col("vec"), typedLit(q.toIndexedSeq)), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
     }),
-    "q27_emb_dup_pairs" -> ((s, d) =>
-      graft.ml.Dedup.embeddingDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.25, nPlanes = 4)),
+    // multi-table hyperplane LSH (16 planes × 4 tables: small buckets at
+    // scale, recall recovered by table union), bucket-capped; the bucket
+    // assignments are dumped so the oracle recomputes pairs + cosine
+    "q27_emb_dup_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      dumpAux(graft.ml.Dedup.hyperplaneBuckets(emb, "vec_id", "embedding",
+        nPlanes = 16, tables = 4, dim = 64, seed = 42L), "q27_buckets")
+      graft.ml.Dedup.embeddingDupPairs(emb, "vec_id", "embedding", threshold = 0.25)
+    }),
 
     // ---- text analysis ----
     "q28_langid" -> ((s, d) =>
@@ -230,9 +374,12 @@ object SparkEntry {
         .groupBy(col("lang_id"), col("source")).agg(count(lit(1)).as("n"))),
 
     // ---- multimodal plumbing (decode stage stubbed, see Multimodal) ----
+    // the deterministic asset table is dumped; the oracle re-derives the
+    // stub features from the raw media bytes (hex walk) in SQL
     "q29_media_features" -> ((s, _) => {
-      val feats = graft.ml.Multimodal.extractFeatures(
-        graft.ml.Multimodal.generateAssets(s, 300))
+      val assets = graft.ml.Multimodal.generateAssets(s, 300)
+      dumpAux(assets.toDF().select(col("asset_id"), col("kind"), col("media")), "q29_assets")
+      val feats = graft.ml.Multimodal.extractFeatures(assets)
       feats.groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
              sum(col("n_bytes")).as("total_bytes"),
@@ -240,10 +387,12 @@ object SparkEntry {
     }),
 
     // ---- the search engine itself (domain ops over the pages corpus) ----
-    "q30_search_reference" -> ((s, _) => searchQuery(s, 2000, "galaxy engine search")),
+    "q30_search_reference" -> ((s, _) =>
+      searchQuery(s, 2000, "galaxy engine search", dumpName = Some("q30_triples"))),
     "q31_search_bm25" -> ((s, _) => {
       import s.implicits._
       val n = 2000
+      dumpTriples(s, n, "q31_triples")
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
         graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
       val searcher = graft.query.Searcher.fromIndex(built, n)
@@ -252,15 +401,29 @@ object SparkEntry {
         (i + 1, url, math.rint(score * 1e6) / 1e6)
       }).toDF("rank", "url", "score")
     }),
+    // fixed-iteration mode (threshold/percent set so convergence never
+    // fires) → the oracle unrolls exactly 15 iterations in SQL; the
+    // reference's CONVERGENCE semantics are oracle-tested in PageRankSpec
     "q32_pagerank" -> ((s, _) => {
       import s.implicits._
-      val (ranks, _) = graft.rank.PageRank.compute(s, graft.corpus.Corpus.generate(s, 500))
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      dumpAux(state0.map(_.url).toDF("url"), "q32_nodes")
+      dumpAux(state0.flatMap(st => st.links.map(l => (st.url, l))).toDF("src", "dst"),
+        "q32_edges")
+      val (ranks, _) = graft.rank.PageRank.run(s, state0,
+        threshold = -1.0, percent = 2.0, maxIter = 15)
       ranks.map(r => (r.url, math.rint(r.rank * 1e6) / 1e6)).toDF("url", "rank")
     }),
     // sample: declared-but-unimplemented in the reference (FlameRDD.java:120,
-    // FlameRDDImpl.java:53-56 returns null) — Spark built-in, seeded
+    // FlameRDDImpl.java:53-56 returns null). Implemented as a DETERMINISTIC
+    // content-hash Bernoulli sample (~1%): same rows at any parallelism or
+    // cluster size — the scale-correct sampling operator (Spark's seeded
+    // .sample is partition-dependent, hence not oracle-checkable).
     "q34_sample" -> ((s, d) => {
-      t(s, d, "lineitem").sample(withReplacement = false, 0.01, seed = 42)
+      t(s, d, "lineitem")
+        .filter(conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+          .cast("long") % 100 === 0)
         .agg(count(lit(1)).as("n_sampled"),
              round(avg(col("l_quantity")), 4).as("avg_qty"))
     }),
@@ -269,12 +432,14 @@ object SparkEntry {
     // driver-side searcher (IndexSpec)
     "q35_search_dataset" -> ((s, _) => {
       val n = 1000
+      dumpTriples(s, n, "q35_triples")
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
         graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
       graft.query.QueryOps.referenceTopK(s, built, "prince officer soldier", n)
         .select(col("url"), round(col("score"), 6).as("score"))
     }),
     "q33_dictionary" -> ((s, _) => {
+      dumpTriples(s, 1000, "q33_triples")
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
         graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
       built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
@@ -393,6 +558,163 @@ object SparkEntry {
          WHERE e.vec_id > 0
          ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
                   e.vec_id ASC
-         LIMIT 10"""
+         LIMIT 10""",
+
+    // ---- dedup/text oracles: PortableHash (md5-prefix + affine mixing)
+    // makes the full minhash/simhash pipelines SQL-expressible ----
+    "q22_minhash_bands" ->
+      s"""WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                           for i in generate_series(1, len(toks) - 2)])
+                  END AS shs
+           FROM tok),
+         base AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(shs)), 1, 15))::BIGINT % 2147483647 AS h
+           FROM sh),
+         sig AS (
+           SELECT doc_id, i,
+                  min((((i+1) * 2654435761 % 2147483647) * h
+                       + ((i+1) * 1779033703 % 2147483647)) % 2147483647) AS v
+           FROM base CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+           GROUP BY doc_id, i),
+         bandsig AS (
+           SELECT doc_id, i // 4 AS band,
+                  string_agg(v::VARCHAR, ':' ORDER BY i) AS sigstr
+           FROM sig GROUP BY doc_id, i // 4),
+         bh AS (
+           SELECT doc_id, band,
+                  ('0x' || substr(md5(sigstr), 1, 15))::BIGINT AS band_hash
+           FROM bandsig)
+         SELECT band, count(DISTINCT band_hash) AS n_buckets, count(*) AS n_rows
+         FROM bh GROUP BY band""",
+
+    "q23_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+         th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+           GROUP BY doc_id, j),
+         fp AS (
+           SELECT doc_id,
+                  sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS f
+           FROM votes GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(f.f, 0)::BIGINT AS simhash
+         FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id""",
+
+    "q24_jaccard_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                           for i in generate_series(1, len(toks) - 2)])
+                  END AS shs
+           FROM tok),
+         cand AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents WHERE doc_id < 50)
+         SELECT c.id1, c.id2,
+                round(CASE WHEN len(list_distinct(list_concat(a.shs, b.shs))) = 0 THEN 0.0
+                      ELSE len(list_intersect(a.shs, b.shs)) * 1.0
+                           / len(list_distinct(list_concat(a.shs, b.shs))) END, 4) AS jaccard
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.id1
+         JOIN sh b ON b.doc_id = c.id2""",
+
+    "q28_langid" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         scores AS (
+           SELECT doc_id, source, l.lang,
+                  len(list_filter(toks, x -> list_contains(l.sw, x))) AS score
+           FROM tok CROSS JOIN (VALUES
+             ('en', ['the','and','of','to','in','is','was','for','that','with','it','on','as']),
+             ('de', ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','von']),
+             ('fr', ['le','la','les','et','est','une','dans','pour','que','qui','des','du']),
+             ('es', ['el','la','los','las','es','una','para','que','con','por','del','en'])) AS l(lang, sw)),
+         best AS (
+           SELECT doc_id, source, lang, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang DESC) AS rn
+           FROM scores),
+         lid AS (
+           SELECT doc_id, source,
+                  CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_id
+           FROM best WHERE rn = 1)
+         SELECT lang_id, source, count(*) AS n FROM lid GROUP BY lang_id, source""",
+
+    "q34_sample" ->
+      """SELECT count(*) AS n_sampled, round(avg(l_quantity), 4) AS avg_qty
+         FROM lineitem
+         WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 15))::BIGINT % 100 = 0""",
+
+    // ---- aux-dump oracles: read_parquet over deterministic inputs the
+    // query dumped, recompute the result independently in SQL ----
+    "q26_ann_ivf" ->
+      s"""SELECT a.vec_id,
+          round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+          FROM read_parquet('$AuxDir/q26_assigned/*.parquet') a
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN read_parquet('$AuxDir/q26_probe/*.parquet') p ON a.centroid = p.centroid
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+                   a.vec_id ASC
+          LIMIT 10""",
+
+    "q27_emb_dup_pairs" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$AuxDir/q27_buckets/*.parquet')),
+          sizes AS (SELECT "table", bucket FROM b GROUP BY "table", bucket
+                    HAVING count(*) <= 10000),
+          capped AS (SELECT b.* FROM b JOIN sizes USING ("table", bucket)),
+          pairs AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+                    FROM capped a JOIN capped c USING ("table", bucket)
+                    WHERE a.vec_id < c.vec_id)
+          SELECT p.id1, p.id2,
+                 round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS cosine
+          FROM pairs p
+          JOIN embeddings e1 ON e1.vec_id = p.id1
+          JOIN embeddings e2 ON e2.vec_id = p.id2
+          WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= 0.25e0""",
+
+    "q29_media_features" ->
+      s"""WITH a AS (
+            SELECT asset_id, kind, octet_length(media) AS nb, hex(media) AS hx
+            FROM read_parquet('$AuxDir/q29_assets/*.parquet')),
+          f AS (
+            SELECT asset_id, kind, nb,
+                   (list_sum([('0x' || substr(hx, 2*i + 1, 2))::BIGINT / 255.0e0
+                              for i in generate_series(16, nb - 1) if (i - 16) % 8 = 0]))::REAL AS f0
+            FROM a)
+          SELECT kind, count(*) AS n, sum(nb)::BIGINT AS total_bytes,
+                 round(sum(f0::DOUBLE), 2) AS f0_sum
+          FROM f GROUP BY kind""",
+
+    "q30_search_reference" -> refSearchSql("galaxy engine search", 2000, "q30_triples", withRank = true),
+    "q31_search_bm25" -> bm25Sql("distributed storage system", 20, "q31_triples"),
+    "q32_pagerank" -> pagerankSql(15),
+    "q33_dictionary" ->
+      s"""SELECT term, count(*) AS df, max(tf) AS max_tf
+          FROM read_parquet('$AuxDir/q33_triples/*.parquet')
+          GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
+    "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false)
   )
 }

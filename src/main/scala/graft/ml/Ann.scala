@@ -78,16 +78,19 @@ object Ann {
       .toDF(idCol, "vec", "centroid")
   }
 
-  /** IVF query: probe the nProbe nearest centroid partitions only. */
-  def ivfTopK(assigned: DataFrame, idCol: String, query: Array[Double],
-              cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
-    val byDist = cents.zipWithIndex.sortBy { case (c, _) =>
+  /** The nProbe centroid ids nearest to the query (squared L2). */
+  def probeSet(cents: Array[Array[Double]], query: Array[Double], nProbe: Int): Seq[Int] =
+    cents.zipWithIndex.sortBy { case (c, _) =>
       var d = 0.0; var i = 0
       while (i < query.length) { val t = query(i) - c(i); d += t * t; i += 1 }
       d
-    }
-    val probeSet = byDist.take(nProbe).map(_._2)
-    bruteTopK(assigned.filter(col("centroid").isin(probeSet.toIndexedSeq: _*)),
+    }.take(nProbe).map(_._2).toIndexedSeq
+
+  /** IVF query: probe the nProbe nearest centroid partitions only. */
+  def ivfTopK(assigned: DataFrame, idCol: String, query: Array[Double],
+              cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val probes = probeSet(cents, query, nProbe)
+    bruteTopK(assigned.filter(col("centroid").isin(probes: _*)),
       idCol, "vec", query.toIndexedSeq, k)
   }
 }

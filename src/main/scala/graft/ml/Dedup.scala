@@ -1,6 +1,5 @@
 package graft.ml
 
-import scala.util.hashing.MurmurHash3
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -10,6 +9,18 @@ import org.apache.spark.sql.functions._
   * generation shuffles only (docId, bucketKey) pairs — never document text —
   * so the shuffle volume at 100 TB is proportional to numDocs × bands, not
   * corpus bytes. Verification joins fetch text for candidate pairs only.
+  *
+  * Every hash is [[PortableHash]]-based (md5 prefix + universal affine
+  * mixing), so signatures/buckets are exactly reproducible in the driver's
+  * DuckDB oracle — the minhash/simhash queries carry full SQL oracles.
+  *
+  * Skew defense: all bucket self-joins take a `maxBucket` cap. One
+  * degenerate bucket (boilerplate/empty docs sharing a signature) would
+  * otherwise go quadratic — 10⁶ identical docs ⇒ 10¹² join rows. Buckets
+  * over the cap are DROPPED from candidate generation (their members are
+  * by definition near-identical to thousands of others; the exact-dedup
+  * pass catches the identical ones, and capped-out docs are reported via
+  * [[overflowBuckets]] so pipelines can route them to exact dedup).
   */
 object Dedup {
 
@@ -35,15 +46,17 @@ object Dedup {
     else toks.sliding(k).map(_.mkString(" ")).toSet
   }
 
-  /** MinHash signature: for hash function i, min over shingles of
-    * murmur3(shingle, seed=i). Deterministic across runs and parallelism. */
-  def minhashSignature(text: String, k: Int, numHashes: Int): Array[Int] = {
+  /** MinHash signature: shingle → one 60-bit md5 hash, then `numHashes`
+    * universal affine mixes; sig(i) = min over shingles. Deterministic
+    * across runs/parallelism and reproducible in SQL. */
+  def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
     val sh = shingles(text, k)
-    val sig = Array.fill(numHashes)(Int.MaxValue)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
     for (s <- sh) {
+      val base = PortableHash.h60(s) % PortableHash.P
       var i = 0
       while (i < numHashes) {
-        val h = MurmurHash3.stringHash(s, i)
+        val h = (PortableHash.aOf(i) * base + PortableHash.bOf(i)) % PortableHash.P
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -52,7 +65,9 @@ object Dedup {
   }
 
   /** (doc_id, band, band_hash) — LSH bucketing rows, `bands` per doc.
-    * Shuffle-light: one small row per (doc, band). */
+    * band_hash = h60 of the band's sig values joined with ':' (the same
+    * string a SQL string_agg ORDER BY produces). Shuffle-light: one small
+    * row per (doc, band). */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
@@ -63,16 +78,36 @@ object Dedup {
         val sig = minhashSignature(text, k, numHashes)
         (0 until bands).iterator.map { b =>
           val slice = sig.slice(b * rows, (b + 1) * rows)
-          (id, b, MurmurHash3.arrayHash(slice, b))
+          (id, b, PortableHash.h60(slice.mkString(":")))
         }
       }.toDF(idCol, "band", "band_hash")
   }
 
+  /** Bucket keys whose member count exceeds `maxBucket` — the degenerate
+    * buckets candidate generation drops (route these docs to exact dedup). */
+  def overflowBuckets(bucketed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    bucketed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** Rows of `bucketed` whose bucket is within the cap (map-side-combined
+    * count + broadcast-friendly join back; no text moves). */
+  private def capBuckets(bucketed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bucketed.join(sizes, keyCols)
+  }
+
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
-    * Self-join on (band, band_hash); id1 < id2 dedupes the pair space. */
-  def minhashCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col(idCol).as("id1"), col("band"), col("band_hash"))
-    val b = bandsDf.select(col(idCol).as("id2"), col("band"), col("band_hash"))
+    * Self-join on (band, band_hash); id1 < id2 dedupes the pair space.
+    * Buckets larger than `maxBucket` are dropped (quadratic-blowup guard). */
+  def minhashCandidates(bandsDf: DataFrame, idCol: String,
+                        maxBucket: Int = 1000): DataFrame = {
+    val capped = capBuckets(bandsDf, Seq("band", "band_hash"), maxBucket)
+    val a = capped.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+    val b = capped.select(col(idCol).as("id2"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -99,23 +134,22 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- simhash
-  /** 64-bit SimHash over whitespace tokens (Charikar 2002): per-token hash
-    * votes each bit up/down; fingerprint bit = sign of the vote. */
-  def simhash64(text: String): Long = {
-    val votes = new Array[Int](64)
+  /** 60-bit SimHash over whitespace tokens (Charikar 2002): per-token h60
+    * votes each bit up/down; fingerprint bit = sign of the vote. 60 bits
+    * (not 64) so the whole computation stays in positive-BIGINT SQL range. */
+  def simhash60(text: String): Long = {
+    val votes = new Array[Int](60)
     for (tok <- text.toLowerCase.trim.split("\\s+") if tok.nonEmpty) {
-      val h1 = MurmurHash3.stringHash(tok, 0).toLong & 0xFFFFFFFFL
-      val h2 = MurmurHash3.stringHash(tok, 1).toLong & 0xFFFFFFFFL
-      val h = (h1 << 32) | h2
+      val h = PortableHash.h60(tok)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
     }
     var f = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) f |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) f |= (1L << b); b += 1 }
     f
   }
 
@@ -123,29 +157,32 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
+      .map { case (id, t) => (id, simhash60(t)) }
       .toDF(idCol, "simhash")
   }
 
   /** Near-dup pairs by Hamming distance ≤ maxDist via the pigeonhole band
-    * trick: split 64 bits into maxDist+1 bands; any pair within distance
-    * shares at least one exact band → join per band, verify distance. */
-  def simhashPairs(sims: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    * trick: split 60 bits into maxDist+1 bands; any pair within distance
+    * shares at least one exact band → join per band, verify distance.
+    * Degenerate band buckets above `maxBucket` are dropped. */
+  def simhashPairs(sims: DataFrame, idCol: String, maxDist: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
     val nBands = maxDist + 1
-    val width = 64 / nBands
+    val width = 60 / nBands
     val spark = sims.sparkSession
     import spark.implicits._
     val banded = sims.select(col(idCol).cast("long"), col("simhash")).as[(Long, Long)]
       .flatMap { case (id, sh) =>
         (0 until nBands).iterator.map { b =>
           val lo = b * width
-          val w = if (b == nBands - 1) 64 - lo else width
-          val mask = if (w == 64) -1L else (1L << w) - 1
+          val w = if (b == nBands - 1) 60 - lo else width
+          val mask = (1L << w) - 1
           (id, sh, b, (sh >>> lo) & mask)
         }
       }.toDF(idCol, "simhash", "band", "band_bits")
-    val a = banded.select(col(idCol).as("id1"), col("simhash").as("sh1"), col("band"), col("band_bits"))
-    val b = banded.select(col(idCol).as("id2"), col("simhash").as("sh2"), col("band"), col("band_bits"))
+    val capped = capBuckets(banded, Seq("band", "band_bits"), maxBucket)
+    val a = capped.select(col(idCol).as("id1"), col("simhash").as("sh1"), col("band"), col("band_bits"))
+    val b = capped.select(col(idCol).as("id2"), col("simhash").as("sh2"), col("band"), col("band_bits"))
     a.join(b, Seq("band", "band_bits"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -164,38 +201,61 @@ object Dedup {
     dot / (sqrt(n1) * sqrt(n2))
   }
 
-  /** Embedding near-dup pairs above `threshold`, using random-hyperplane LSH
-    * buckets to avoid the O(n²) cross join at scale (brute force only within
-    * a bucket). `planes` seeded → deterministic. */
-  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, nPlanes: Int = 8, dim: Int = 64,
-                        seed: Long = 42L): DataFrame = {
+  /** (id, table, bucket) random-hyperplane LSH assignments: `tables`
+    * independent sign-hash tables of `nPlanes` planes each (seeded →
+    * deterministic). Multi-table is the standard recall/selectivity
+    * trade: P(candidate) = 1 − (1 − p^nPlanes)^tables for per-plane
+    * agreement p — more planes keeps buckets small at corpus scale, more
+    * tables buys the recall back. */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int, tables: Int, dim: Int,
+                        seed: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rng = new java.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
+    val planes = Array.fill(tables, nPlanes, dim)(rng.nextGaussian())
     val pb = spark.sparkContext.broadcast(planes)
-    val sigs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
-      .map { case (id, v) =>
-        var sig = 0
-        var p = 0
-        while (p < pb.value.length) {
-          var d = 0.0; var i = 0
-          val plane = pb.value(p)
-          while (i < v.length && i < plane.length) { d += v(i) * plane(i); i += 1 }
-          if (d >= 0) sig |= (1 << p)
-          p += 1
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        (0 until pb.value.length).iterator.map { t =>
+          var sig = 0L
+          var p = 0
+          val tbl = pb.value(t)
+          while (p < tbl.length) {
+            var d = 0.0; var i = 0
+            val plane = tbl(p)
+            while (i < arr.length && i < plane.length) { d += arr(i) * plane(i); i += 1 }
+            if (d >= 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, t, sig)
         }
-        (id, v, sig)
-      }.toDF(idCol, "vec", "bucket")
-    val a = sigs.select(col(idCol).as("id1"), col("vec").as("v1"), col("bucket"))
-    val b = sigs.select(col(idCol).as("id2"), col("vec").as("v2"), col("bucket"))
-    a.join(b, Seq("bucket"))
+      }.toDF(idCol, "table", "bucket")
+  }
+
+  /** Embedding near-dup pairs above `threshold`: multi-table hyperplane LSH
+    * buckets (never an O(n²) cross join), bucket-size capped, then exact
+    * cosine on within-bucket pairs only. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nPlanes: Int = 16, tables: Int = 4,
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucket: Int = 10000): DataFrame = {
+    val buckets = hyperplaneBuckets(df, idCol, vecCol, nPlanes, tables, dim, seed)
+    val capped = capBuckets(buckets, Seq("table", "bucket"), maxBucket)
+    val pairs = capped.select(col(idCol).as("id1"), col("table"), col("bucket"))
+      .join(capped.select(col(idCol).as("id2"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val vecs = df.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("vec"))
+    pairs
+      .join(vecs, col("id1") === col("vid")).withColumnRenamed("vec", "v1").drop("vid")
+      .join(vecs, col("id2") === col("vid")).withColumnRenamed("vec", "v2").drop("vid")
       .select(col("id1"), col("id2"), cosineCol(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
-      .distinct()
   }
 }

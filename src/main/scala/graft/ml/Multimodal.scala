@@ -46,13 +46,16 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(media)
     bb.getInt() // kind tag
     val w = bb.getInt(); val h = bb.getInt(); val sr = bb.getInt()
-    val feats = new Array[Float](dim)
+    // accumulate in double, narrow to float once: the per-asset feature is
+    // then exactly `(sum of byte/255.0)::REAL` — SQL-reproducible for the
+    // DuckDB oracle, and better-conditioned than float accumulation anyway
+    val acc = new Array[Double](dim)
     var i = 16
     while (i < media.length) {
-      feats((i - 16) % dim) += (media(i) & 0xFF) / 255.0f
+      acc((i - 16) % dim) += (media(i) & 0xFF) / 255.0
       i += 1
     }
-    (w, h, sr, feats)
+    (w, h, sr, acc.map(_.toFloat))
   }
 
   /** Deterministic asset table (for tests/bench; in production this is the

@@ -372,7 +372,8 @@ object Searcher {
     val urlArr = new Array[String](docs.length)
     val dlArr = new Array[Long](docs.length)
     docs.foreach { d => urlArr(d.doc_id.toInt) = d.url; dlArr(d.doc_id.toInt) = d.dl }
-    val avgdl = if (docs.isEmpty) 1.0 else dlArr.map(_.toDouble).sum / docs.length
+    // integer dl sum (exact, order-free) → double once: reproducible in SQL
+    val avgdl = if (docs.isEmpty) 1.0 else dlArr.sum.toDouble / docs.length
     val dlMin = if (docs.isEmpty) 0L else dlArr.min
     new Searcher(n, dict, blocks, id => urlArr(id.toInt), id => dlArr(id.toInt),
       avgdl, dlMin, docs.length.toLong)

@@ -74,6 +74,52 @@ class MlSpec extends AnyFunSuite {
     assert(brute.exists { case (a, b, d) => d == 0 && b - a == 200 })
   }
 
+  test("degenerate bucket (1000 identical docs) is capped, not quadratic") {
+    // 1000 byte-identical docs share every minhash band bucket: uncapped,
+    // the self-join would emit ~500k pairs per band × 16 bands. With the
+    // cap they are dropped from candidate generation and surfaced via
+    // overflowBuckets (exact dedup owns identical docs).
+    val clones = (0L until 1000L).map(i => (i, "same boring boilerplate text here"))
+    val distinct = (2000L until 2010L).map(i => (i, s"unique doc $i alpha beta gamma delta"))
+    val df = (clones ++ distinct).toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(df, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(bands, "doc_id", maxBucket = 50)
+    val ids = cands.select("id1").union(cands.select("id2"))
+      .distinct().as[Long].collect().toSet
+    assert(!ids.exists(_ < 1000L), "clone-bucket members must not reach the pair join")
+    val overflow = Dedup.overflowBuckets(bands, Seq("band", "band_hash"), 50).collect()
+    assert(overflow.length == 16 && overflow.forall(_.getLong(2) == 1000L),
+      "every band's clone bucket must be reported as overflow")
+    // same guard on the simhash path
+    val sims = Dedup.simhashes(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sims, "doc_id", maxDist = 3, maxBucket = 50)
+    assert(!pairs.select("id1").as[Long].collect().exists(_ < 1000L))
+  }
+
+  test("embedding LSH multi-table pairs: planted dup found, no cross join") {
+    val rng = new scala.util.Random(3)
+    val dim = 64
+    val base = Array.fill(dim)(rng.nextGaussian())
+    val vecs = (0 until 100).map { i =>
+      val v =
+        if (i == 99) base.map(x => (x + 1e-3 * rng.nextGaussian()).toFloat) // near-dup of 0
+        else if (i == 0) base.map(_.toFloat)
+        else Array.fill(dim)(rng.nextGaussian().toFloat).toArray
+      (i.toLong, v.toIndexedSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 99L)), "planted cosine≈1 pair must survive 16-plane LSH")
+    // buckets are selective: far fewer candidate pairs than the 4950 cross join
+    val buckets = Dedup.hyperplaneBuckets(df, "vec_id", "embedding", 16, 4, dim, 42L)
+    val cands = buckets.select(col("vec_id").as("id1"), col("table"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("id2"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct().count()
+    assert(cands < 500, s"LSH candidates should be sparse, got $cands")
+  }
+
   test("IVF ANN matches brute force on planted clusters") {
     val rng = new scala.util.Random(11)
     val dim = 16
