@@ -443,8 +443,59 @@ object SparkEntry {
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
         graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
       built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
+    }),
+
+    // ---- doc-detail point lookup (reference GET /query/:url flow,
+    // Backend.java:416-482): the pages table is keyed by the reference
+    // row-key hash, written key-sorted (row-group stats prune the point
+    // fetch), looked up by key, and the title regexes produce the info map
+    // (live-code quirk: extracted title lands under "abstract") ----
+    "q36_doc_detail" -> ((s, _) => {
+      import s.implicits._
+      val n = 500L
+      val keyed = graft.corpus.Corpus.generate(s, n)
+        .map(p => (graft.util.RefHasher.hash(p.url), p.url, new String(p.html, "UTF-8")))
+        .toDF("key", "url", "html")
+      dumpAux(keyed.sortWithinPartitions("key"), "q36_pages")
+      val keys = detailDocIds
+        .map(i => graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)))
+      s.read.parquet(s"$AuxDir/q36_pages").filter(col("key").isin(keys: _*))
+        .select(col("url"), col("html")).as[(String, String)]
+        .map { case (u, h) =>
+          val info = graft.query.DocDetail.pageInfo(u, Some(h))
+          (u, info("title"), info("abstract"))
+        }.toDF("url", "title", "abstract")
     })
   )
+
+  /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
+    * constants embedded in the oracle SQL). */
+  private val detailDocIds = Seq(3L, 57L, 123L, 250L, 499L)
+
+  /** DuckDB SQL for the doc-detail lookup: same key constants, title
+    * extraction via the reference's regex cascade (title tag suffices — the
+    * corpus always emits one; the h1…h6 fallback and the RefHasher itself
+    * are golden-tested against the compiled reference in TextSpec /
+    * RefHasher goldens). */
+  private def docDetailSql(n: Long): String = {
+    val keys = detailDocIds
+      .map(i => "'" + graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)) + "'")
+      .mkString(", ")
+    s"""WITH p AS (SELECT url, html FROM read_parquet('$AuxDir/q36_pages/*.parquet')
+                   WHERE key IN ($keys)),
+       x AS (SELECT url,
+                    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      regexp_extract(html, '<title(\\s+[^>]*?)?>(.*?)</title>', 2),
+                      '<.*?>', ' ', 'g'),
+                      '[\\f\\x08\\t\\r\\n.,:;!?''’"()-]', ' ', 'g'),
+                      '\\\\', ' ', 'g'),
+                      '[[:cntrl:]]', ' ', 'g'),
+                      '\\s+', ' ', 'g')) AS t
+             FROM p)
+       SELECT url, url AS title,
+              CASE WHEN t IS NULL OR t = '' THEN 'No Information Available' ELSE t END AS abstract
+       FROM x"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -715,6 +766,7 @@ object SparkEntry {
       s"""SELECT term, count(*) AS df, max(tf) AS max_tf
           FROM read_parquet('$AuxDir/q33_triples/*.parquet')
           GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
-    "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false)
+    "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false),
+    "q36_doc_detail" -> docDetailSql(500L)
   )
 }
