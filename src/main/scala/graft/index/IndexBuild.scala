@@ -142,19 +142,36 @@ object IndexBuild {
       it.map { r => val id = offB.value(pid) + local; local += 1; (id, r.getString(0)) }
     }.toDF("doc_id", "url")
 
+    // --- term-dictionary encoding for the heavy shuffle ---
+    // The blocks range shuffle + sort is the build's dominant cost. Terms
+    // are dictionary-encoded to dense ints FIRST (sorted order ⇒ id order ≡
+    // term order, so range partitioning, sort order and block order are all
+    // unchanged): shuffle rows shrink from (string, long, int) to
+    // (int, long, int) and the sort compares 4-byte ints instead of UTF8
+    // strings. The term set is lexicon-bounded (~10⁴) ⇒ collect+broadcast
+    // is safe at any corpus scale; an open-vocabulary build would hash
+    // terms to 64-bit ids instead.
+    val termArr = seg.select($"term").distinct().orderBy($"term")
+      .collect().map(_.getString(0))
+    val termOf = spark.sparkContext.broadcast(termArr)
+    val termDim = spark.createDataFrame(
+      termArr.toIndexedSeq.zipWithIndex).toDF("term", "tid")
+
     // docmap join: broadcast while the map fits executor memory (sub-10M
     // docs ≈ <1 GB); beyond that fall back to a shuffle join (at 10^12 docs
     // the production layout bucket-joins on url instead)
     val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
     val docmapSide = if (numDocs <= 10_000_000L) broadcast(docmap) else docmap
     val postings = seg.join(docmapSide, Seq("url"))
-      .select($"term", $"doc_id", $"tf").as[TermPosting]
+      .join(broadcast(termDim), Seq("term")) // codegen'd: no typed lambda
+      .select($"tid", $"doc_id", $"tf")
       .persist(StorageLevel.DISK_ONLY) // read by range-sampling, the blocks
       // shuffle, and the dl aggregation — persist beats recomputing the join
     val blocks = postings
-      .repartitionByRange(parts, $"term".asc, $"tf".desc, $"doc_id".asc)
-      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
-      .mapPartitions(it => encodeBlocks(it, blockSize))
+      .repartitionByRange(parts, $"tid".asc, $"tf".desc, $"doc_id".asc)
+      .sortWithinPartitions($"tid".asc, $"tf".desc, $"doc_id".asc)
+      .as[(Int, Long, Int)]
+      .mapPartitions(it => encodeBlocks(it, blockSize, termOf.value))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dictionary = blocks.groupBy($"term")
       .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
@@ -164,26 +181,30 @@ object IndexBuild {
     BuiltIndex(docs, dictionary, blocks)
   }
 
-  /** Cut a partition's (term, tf desc, doc asc)-sorted posting stream into
-    * compressed blocks of ≤ blockSize postings per term run. */
-  private[graft] def encodeBlocks(it: Iterator[TermPosting],
-                                  blockSize: Int): Iterator[PostingBlock] = {
+  /** Cut a partition's (tid, tf desc, doc asc)-sorted posting stream into
+    * compressed blocks of ≤ blockSize postings per term run. Postings arrive
+    * as primitive (tid, doc_id, tf) tuples — the term string is resolved
+    * once per block from the broadcast id array. */
+  private[graft] def encodeBlocks(it: Iterator[(Int, Long, Int)],
+                                  blockSize: Int,
+                                  termOf: Array[String]): Iterator[PostingBlock] = {
     val pid = TaskContext.getPartitionId()
     new Iterator[PostingBlock] {
       private val buf = it.buffered
-      private var curTerm: String = null
+      private var curTid = -1
       private var blockSeq = 0
       def hasNext: Boolean = buf.hasNext
       def next(): PostingBlock = {
         val head = buf.head
-        if (head.term != curTerm) { curTerm = head.term; blockSeq = 0 }
+        if (head._1 != curTid) { curTid = head._1; blockSeq = 0 }
+        val curTerm = termOf(curTid)
         val ids = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
         val tfs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
         var maxTf = Int.MinValue
-        while (buf.hasNext && buf.head.term == curTerm && ids.length < blockSize) {
+        while (buf.hasNext && buf.head._1 == curTid && ids.length < blockSize) {
           val p = buf.next()
-          ids += p.doc_id; tfs += p.tf
-          if (p.tf > maxTf) maxTf = p.tf
+          ids += p._2; tfs += p._3
+          if (p._3 > maxTf) maxTf = p._3
         }
         // store by doc_id for delta coding; perm maps serving rank (the
         // arrival order here: tf desc, doc asc) → doc-order position

@@ -25,6 +25,14 @@ import graft.text.{PorterStemmer, Text}
   *  4. tfidf from the BROADCAST dictionary (df → idf with the reference's
   *     int division; max_tf → exact tfn) × stem factor;
   *  5. groupBy url sum, orderBy (score desc, url asc), limit 200.
+  *
+  * Known parity bound: the Backend's per-posting url-decode hygiene filter
+  * (Backend.java:268-273; implemented in [[Searcher.termTfidf]] and the
+  * oracle) is NOT applied here — it must run before the 200-cap, which in
+  * this plan would force a docs join ahead of the cap. This path therefore
+  * assumes canonicalized urls (the corpus contract); on dirty corpora use
+  * the Searcher/LazySearcher tiers, whose filter is oracle-tested against
+  * adversarial urls in IndexSpec.
   */
 object QueryOps {
 
@@ -95,10 +103,19 @@ object QueryOps {
         sort_array(collect_list(struct($"idx", $"tfidf"))),
         lit(0.0d), (acc, x) => acc + x.getField("tfidf")).as("score"))
 
-    // capped postings are tiny (≤200 per live term): broadcast THEM against
-    // the docs table — never the other way around
+    // capped postings are tiny (≤200 per live term): materialize their doc
+    // ids and PUSH them into the docs scan as an In-filter (partition/
+    // row-group pruning on a doc_id-sorted docs table), then broadcast the
+    // scored side — the docs table is never fully scanned per query
+    val scoredRows = scored.collect()
+    if (scoredRows.isEmpty) return spark.emptyDataFrame.withColumn("url", lit(""))
+      .withColumn("score", lit(0.0)).limit(0)
+    val ids = scoredRows.map(_.getLong(0)).toIndexedSeq
+    val scoredDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(scoredRows.toIndexedSeq, 1), scored.schema)
     built.docs.select($"doc_id", $"url")
-      .join(broadcast(scored), Seq("doc_id"))
+      .filter($"doc_id".isin(ids: _*))
+      .join(broadcast(scoredDf), Seq("doc_id"))
       .select($"url", $"score")
       .orderBy($"score".desc, $"url".asc)
       .limit(200)

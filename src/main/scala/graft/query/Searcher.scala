@@ -42,7 +42,14 @@ final class Searcher(val n: Int,
     *
     * `pagerank`: None = live Backend behavior `1.0*TFIDF` (Backend.java:363);
     * Some(ranks) = the backup scorer's per-posting blend
-    * `0.7*TFIDF + 0.3*pagerank(url)` (Project/backup/Backend1210.java:259). */
+    * `0.7*TFIDF + 0.3*pagerank(url)` (Project/backup/Backend1210.java:259).
+    *
+    * Known parity bound vs the real Backend: `rankedList` iterates
+    * `TFIDFMap.keySet()` — Java HashMap order over the term strings, which
+    * is reproducible for a given key set but not insertion order. We sum in
+    * query-insertion order instead (pinned, parallelism-independent); the
+    * two can differ by FP-addition reordering in the last ulp on multi-term
+    * queries, which the in-repo oracle pins identically on both sides. */
   def referenceTopK(query: String,
                     pagerank: Option[String => Double] = None): List[(String, Double)] = {
     val surface = Text.parseQuery(query)

@@ -59,10 +59,17 @@ object ScaleProbe {
     t("tok_disk")(postingsD.count())
     val postings2 = postingsP
     t("dict")(postings2.groupBy($"term").agg(count(lit(1)), max($"tf")).count())
+    val termArr = postings2.select($"term").distinct().orderBy($"term")
+      .collect().map(_.getString(0))
+    val termOfB = spark.sparkContext.broadcast(termArr)
+    val termDim = spark.createDataFrame(termArr.toIndexedSeq.zipWithIndex).toDF("term", "tid")
     t("blocks")(postings2
-      .repartitionByRange(cpus, $"term".asc, $"tf".desc, $"doc_id".asc)
-      .sortWithinPartitions($"term".asc, $"tf".desc, $"doc_id".asc)
-      .mapPartitions(it => graft.index.IndexBuild.encodeBlocks(it, 4096)).count())
+      .join(broadcast(termDim), Seq("term")).select($"tid", $"doc_id", $"tf")
+      .repartitionByRange(cpus, $"tid".asc, $"tf".desc, $"doc_id".asc)
+      .sortWithinPartitions($"tid".asc, $"tf".desc, $"doc_id".asc)
+      .as[(Int, Long, Int)]
+      .mapPartitions(it => graft.index.IndexBuild.encodeBlocks(it, 4096, termOfB.value))
+      .count())
     val docIdUrl = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var local = 0L
