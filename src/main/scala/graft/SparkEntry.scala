@@ -445,6 +445,13 @@ object SparkEntry {
       built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
     }),
 
+    // ---- sessionization (training-data/event-pipeline op): gap-based
+    // gaps-and-islands over the events table; the streaming twin
+    // (flatMapGroupsWithState custom state) is equality-tested in
+    // StreamSessionizeSpec ----
+    "q37_sessionize" -> ((s, d) =>
+      graft.streaming.Sessionize.batch(t(s, d, "events"), gapSec = 86400L)),
+
     // ---- doc-detail point lookup (reference GET /query/:url flow,
     // Backend.java:416-482): the pages table is keyed by the reference
     // row-key hash, written key-sorted (row-group stats prune the point
@@ -767,6 +774,25 @@ object SparkEntry {
           FROM read_parquet('$AuxDir/q33_triples/*.parquet')
           GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
     "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false),
-    "q36_doc_detail" -> docDetailSql(500L)
+    "q36_doc_detail" -> docDetailSql(500L),
+
+    "q37_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  floor(epoch(ts))::BIGINT AS sec,
+                  lag(floor(epoch(ts))::BIGINT) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 86400
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM m)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sess_no"""
   )
 }

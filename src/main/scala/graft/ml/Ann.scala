@@ -93,4 +93,22 @@ object Ann {
     bruteTopK(assigned.filter(col("centroid").isin(probes: _*)),
       idCol, "vec", query.toIndexedSeq, k)
   }
+
+  /** Persist the routing table PARTITIONED BY CENTROID — the write-time
+    * layout that turns probing into real partition pruning: a query lists
+    * only the nProbe centroid directories, so the scan fraction is
+    * nProbe/C of the corpus regardless of total size. */
+  def ivfWrite(assigned: DataFrame, dir: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(dir)
+
+  /** IVF query over the on-disk partitioned routing table. The centroid
+    * In-filter is a partition filter (MlSpec asserts `PartitionFilters`
+    * in the physical plan), so non-probed partitions are never read. */
+  def ivfTopKOnDisk(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    idCol: String, query: Array[Double],
+                    cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val probes = probeSet(cents, query, nProbe)
+    bruteTopK(spark.read.parquet(dir).filter(col("centroid").isin(probes: _*)),
+      idCol, "vec", query.toIndexedSeq, k)
+  }
 }

@@ -192,14 +192,13 @@ object Dedup {
   }
 
   // ----------------------------------------------------- embedding near-dup
-  /** Cosine similarity of two float-array columns as a codegen-friendly
-    * column expression (sequential folds; no UDF). */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val n1 = aggregate(a, lit(0.0d), (acc, v) => acc + v * v)
-    val n2 = aggregate(b, lit(0.0d), (acc, v) => acc + v * v)
-    dot / (sqrt(n1) * sqrt(n2))
-  }
+  /** Cosine similarity of two double-array columns: a NATIVE Catalyst
+    * expression with whole-stage codegen ([[graft.functions.CosineSimilarity]]
+    * — one fused loop instead of the three higher-order-function traversals
+    * of the composed aggregate/zip_with form it replaces; bit-identical
+    * results, same ascending-index accumulation order). */
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.GraftExtensions.cosineSim(a, b)
 
   /** (id, table, bucket) random-hyperplane LSH assignments: `tables`
     * independent sign-hash tables of `nPlanes` planes each (seeded →

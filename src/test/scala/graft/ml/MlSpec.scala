@@ -142,6 +142,32 @@ class MlSpec extends AnyFunSuite {
     assert(scanned < 199)
   }
 
+  test("IVF on-disk layout prunes non-probed centroid partitions") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.toIndexedSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.map(_.toDouble).toArray
+    val cents = Ann.centroids(df, "embedding", c = 4)
+    val assigned = Ann.ivfAssign(df.filter($"vec_id" > 0), "vec_id", "embedding", cents)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ann.ivfWrite(assigned, dir)
+    val onDisk = Ann.ivfTopKOnDisk(spark, dir, "vec_id", q, cents, k = 10, nProbe = 2)
+    val inMem = Ann.ivfTopK(assigned, "vec_id", q, cents, k = 10, nProbe = 2)
+    assert(onDisk.collect().map(_.getLong(0)).toSeq ==
+           inMem.collect().map(_.getLong(0)).toSeq)
+    // the probe is a PARTITION filter: non-probed directories never read
+    val probes = Ann.probeSet(cents, q, 2)
+    val plan = spark.read.parquet(dir)
+      .filter(col("centroid").isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid"), plan)
+  }
+
   test("language id heuristic") {
     assert(TextAnalysis.langIdOf("the cat and the dog was in the house") == "en")
     assert(TextAnalysis.langIdOf("der hund und die katze ist nicht da") == "de")
