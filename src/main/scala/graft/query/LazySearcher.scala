@@ -36,7 +36,8 @@ import graft.text.{PorterStemmer, Text}
   * In production the two tiers meet in the middle: per-shard serving
   * processes mmap their shard's blocks and use exactly this fetch pattern.
   */
-final class LazySearcher(spark: SparkSession, dir: String, val n: Int) {
+final class LazySearcher(spark: SparkSession, dir: String, val n: Int,
+                         isinThreshold: Int = 2048) {
   import spark.implicits._
 
   private val built: BuiltIndex = IndexBuild.load(spark, dir)
@@ -66,9 +67,17 @@ final class LazySearcher(spark: SparkSession, dir: String, val n: Int) {
       .groupBy(_.term)
       .map { case (t, bs) => t -> bs.sortBy(b => (b.part_id, b.seq)).toIndexedSeq }
 
+  /** Point fetch of touched docs. Small id sets go down as an In-filter —
+    * pushed into the parquet scan, where the doc_id-sorted docs table
+    * ([[IndexBuild.save]]) prunes row groups; large sets (head-term BM25)
+    * switch to broadcasting the id list against the docs table. */
   private def fetchDocs(ids: Array[Long]): Map[Long, (String, Long)] =
     if (ids.isEmpty) Map.empty
-    else {
+    else if (ids.length <= isinThreshold) {
+      built.docs.filter($"doc_id".isin(ids.toIndexedSeq: _*))
+        .collect()
+        .map(d => d.doc_id -> ((d.url, d.dl))).toMap
+    } else {
       val idsDf = ids.toIndexedSeq.toDF("doc_id")
       built.docs.join(broadcast(idsDf), Seq("doc_id"))
         .collect()

@@ -36,10 +36,14 @@ class LazySearcherSpec extends AnyFunSuite {
       .getLines().toVector
 
   test("lazy point-lookup serving is identical to the eager searcher") {
-    val lazySearcher = LazySearcher.open(spark, dir, numDocs)
-    for (q <- queries) {
-      assert(lazySearcher.referenceTopK(q) == eager.referenceTopK(q), s"ref '$q'")
-      assert(lazySearcher.bm25TopK(q, 10) == eager.bm25TopK(q, 10), s"bm25 '$q'")
+    // both docs-fetch strategies: In-filter pushdown (default) and the
+    // broadcast-id-join fallback for large id sets (threshold 0 forces it)
+    for (threshold <- Seq(2048, 0)) {
+      val lazySearcher = new LazySearcher(spark, dir, numDocs, isinThreshold = threshold)
+      for (q <- queries) {
+        assert(lazySearcher.referenceTopK(q) == eager.referenceTopK(q), s"ref '$q' t=$threshold")
+        assert(lazySearcher.bm25TopK(q, 10) == eager.bm25TopK(q, 10), s"bm25 '$q' t=$threshold")
+      }
     }
   }
 
