@@ -32,6 +32,13 @@ object SparkEntry {
   private def dumpAux(df: DataFrame, name: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/$name")
 
+  /** Partition count for the in-query corpus index builds: these corpora
+    * are small (500-2000 docs), where 32-way stages cost more in
+    * task-scheduling + range-sampling overhead than the parallelism wins.
+    * Results are partition-count-invariant (IndexSpec determinism test). */
+  private def searchParts(s: SparkSession): Int =
+    math.min(s.sparkContext.defaultParallelism, 8)
+
   /** (url, term, tf) tokenizer triples of the n-doc seed-42 corpus — the
     * oracle input for the search/dictionary queries. Tokenization itself is
     * verified byte-identically against the COMPILED reference classes in
@@ -55,7 +62,7 @@ object SparkEntry {
     dumpName.foreach(nm => dumpTriples(spark, numDocs, nm))
     val built = graft.index.IndexBuild.build(
       spark, graft.corpus.Corpus.generate(spark, numDocs), graft.corpus.Corpus.lexicon,
-      parts = spark.sparkContext.defaultParallelism)
+      parts = searchParts(spark))
     val searcher = graft.query.Searcher.fromIndex(built, numDocs)
     val hits = searcher.referenceTopK(query)
     spark.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
@@ -394,7 +401,7 @@ object SparkEntry {
       val n = 2000
       dumpTriples(s, n, "q31_triples")
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
-        graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
+        graft.corpus.Corpus.lexicon, parts = searchParts(s))
       val searcher = graft.query.Searcher.fromIndex(built, n)
       val hits = searcher.bm25TopK("distributed storage system", 20)
       s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
@@ -434,14 +441,14 @@ object SparkEntry {
       val n = 1000
       dumpTriples(s, n, "q35_triples")
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
-        graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
+        graft.corpus.Corpus.lexicon, parts = searchParts(s))
       graft.query.QueryOps.referenceTopK(s, built, "prince officer soldier", n)
         .select(col("url"), round(col("score"), 6).as("score"))
     }),
     "q33_dictionary" -> ((s, _) => {
       dumpTriples(s, 1000, "q33_triples")
       val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
-        graft.corpus.Corpus.lexicon, parts = s.sparkContext.defaultParallelism)
+        graft.corpus.Corpus.lexicon, parts = searchParts(s))
       built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
     }),
 

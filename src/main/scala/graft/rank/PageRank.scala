@@ -112,7 +112,9 @@ object PageRank {
         } else newState)
           .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // one job for both convergence scalars
+      // one job for both convergence scalars; this action also MATERIALIZES
+      // the persisted `next` each round (bounding plan depth to one
+      // iteration — without it the lazy plan tree doubles per round)
       val row = next.agg(
         count(lit(1)).as("total"),
         sum(when(abs($"rank" - $"prev") < threshold, 1L).otherwise(0L)).as("achieved")
