@@ -375,6 +375,24 @@ object SparkEntry {
       graft.ml.Dedup.embeddingDupPairs(emb, "vec_id", "embedding", threshold = 0.25)
     }),
 
+    // PQ/ADC compressed-codes ANN: train deterministic codebooks, encode
+    // vectors to m=8 sub-centroid ids (a narrow map; ~32× smaller scan than
+    // raw floats), query via the broadcast ADC lookup table. Codebooks +
+    // codes are dumped; the oracle recomputes the distance table and fold.
+    "q38_pq_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val model = graft.ml.Pq.train(emb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val codes = graft.ml.Pq.encode(emb.filter(col("vec_id") > 0), "vec_id", "embedding", model)
+      dumpAux(codes, "q38_codes")
+      val cbRows = for (mi <- 0 until model.m; ci <- 0 until model.k)
+        yield (mi, ci, model.codebooks(mi)(ci).toIndexedSeq)
+      dumpAux(cbRows.toDF("m", "cid", "sub"), "q38_codebooks")
+      graft.ml.Pq.adcTopK(codes, "vec_id", q, model, 10)
+    }),
+
     // ---- text analysis ----
     "q28_langid" -> ((s, d) =>
       graft.ml.TextAnalysis.withLangId(t(s, d, "documents"), "text")
@@ -452,6 +470,18 @@ object SparkEntry {
       built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
     }),
 
+    // ---- query-log replay: score a BATCH of queries in one distributed
+    // pass (blocks of shared terms decoded once for the whole batch);
+    // per-query results bit-identical to the serving scorer (IndexSpec) ----
+    "q39_batch_queries" -> ((s, _) => {
+      val n = 1000
+      dumpTriples(s, n, "q39_triples")
+      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
+        graft.corpus.Corpus.lexicon, parts = searchParts(s))
+      graft.query.QueryOps.batchReferenceTopK(s, built, batchQueries, n)
+        .select(col("query_id"), col("rank"), col("url"), round(col("score"), 6).as("score"))
+    }),
+
     // ---- sessionization (training-data/event-pipeline op): gap-based
     // gaps-and-islands over the events table; the streaming twin
     // (flatMapGroupsWithState custom state) is equality-tested in
@@ -485,6 +515,45 @@ object SparkEntry {
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
     * constants embedded in the oracle SQL). */
   private val detailDocIds = Seq(3L, 57L, 123L, 250L, 499L)
+
+  /** The q39 query-log batch (includes a duplicate-term query exercising
+    * the put-overwrite expansion path). */
+  private val batchQueries = Seq(
+    "galaxy engine search", "prince officer soldier", "running running galaxy")
+
+  /** DuckDB SQL for the batch replay: same scorer algebra as
+    * [[refSearchSql]] with a (qid, term, factor, qidx) expansion table and
+    * per-qid ranking. */
+  private def batchSearchSql(n: Int, triplesName: String): String = {
+    val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+      graft.query.QueryOps.termWeights(q).zipWithIndex.map { case ((t, f), j) =>
+        s"($qi, '$t', ${f}e0, $j)"
+      }
+    }.mkString(", ")
+    s"""WITH t(qid, term, factor, qidx) AS (VALUES $vals),
+       tr AS (SELECT * FROM read_parquet('$AuxDir/$triplesName/*.parquet')),
+       dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
+       posts AS (
+         SELECT tr.term, tr.url, tr.tf, d.df, d.max_tf,
+                row_number() OVER (PARTITION BY tr.term
+                                   ORDER BY tr.tf DESC, tr.url ASC) AS rnk
+         FROM tr JOIN dict d USING (term)
+         WHERE tr.term IN (SELECT DISTINCT term FROM t)),
+       scored AS (
+         SELECT t.qid, p.url, t.qidx,
+                (0.4e0 + 0.6e0 * p.tf / p.max_tf) * (ln(($n // p.df)) / ln(500)) * t.factor AS s
+         FROM posts p JOIN t USING (term)
+         WHERE p.rnk <= 200 AND ($n // p.df) > 1),
+       comb AS (
+         SELECT qid, url, list_reduce(list(s ORDER BY qidx), (a, b) -> a + b) AS score
+         FROM scored GROUP BY qid, url),
+       ranked AS (
+         SELECT qid AS query_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, url ASC) AS rank,
+                url, round(score, 6) AS score
+         FROM comb)
+       SELECT query_id, rank, url, score FROM ranked WHERE rank <= 200"""
+  }
 
   /** DuckDB SQL for the doc-detail lookup: same key constants, title
     * extraction via the reference's regex cascade (title tag suffices — the
@@ -782,6 +851,27 @@ object SparkEntry {
           GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
     "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false),
     "q36_doc_detail" -> docDetailSql(500L),
+
+    "q39_batch_queries" -> batchSearchSql(1000, "q39_triples"),
+
+    "q38_pq_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+          cb AS (SELECT m, cid, sub FROM read_parquet('$AuxDir/q38_codebooks/*.parquet')),
+          dist AS (
+            SELECT cb.m, cb.cid,
+                   list_reduce([ (cb.sub[i] - q.v[cb.m * 8 + i])
+                                 * (cb.sub[i] - q.v[cb.m * 8 + i])
+                                 for i in generate_series(1, 8) ],
+                               (a, b) -> a + b) AS dd
+            FROM cb CROSS JOIN q),
+          codes AS (SELECT vec_id, code FROM read_parquet('$AuxDir/q38_codes/*.parquet')),
+          pairs AS (SELECT c.vec_id, g.i - 1 AS m, c.code[g.i] AS cid
+                    FROM codes c CROSS JOIN generate_series(1, 8) AS g(i)),
+          joined AS (SELECT p.vec_id, p.m, d.dd FROM pairs p JOIN dist d USING (m, cid)),
+          adc AS (SELECT vec_id, list_reduce(list(dd ORDER BY m), (a, b) -> a + b) AS s
+                  FROM joined GROUP BY vec_id)
+          SELECT vec_id, round_even(s * 1e6, 0) / 1e6 AS adc_dist
+          FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
 
     "q37_sessionize" ->
       """WITH e AS (

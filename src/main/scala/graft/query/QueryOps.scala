@@ -36,6 +36,92 @@ import graft.text.{PorterStemmer, Text}
   */
 object QueryOps {
 
+  /** Query expansion with reference semantics (surface terms first, stems
+    * appended, put-overwrite) → ordered (term, stemFactor). */
+  def termWeights(query: String): Seq[(String, Double)] = {
+    val surface = Text.parseQuery(query)
+    val expanded = surface.map(t => (t, false)) ++ surface.flatMap { t =>
+      val st = PorterStemmer.stem(t)
+      if (st != t) Some((st, true)) else None
+    }
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((t, isStem) <- expanded if t.nonEmpty) m.put(t, if (isStem) 0.7 else 1.0)
+    m.toSeq
+  }
+
+  /** QUERY-LOG REPLAY: score a whole batch of queries in ONE distributed
+    * pass — the at-scale serving workload (offline eval, log replay,
+    * relevance regression). Each posting block of a shared term is decoded
+    * ONCE for the entire batch, not once per query: blocks are pruned and
+    * decoded per TERM, then joined against the broadcast (query_id, term,
+    * factor) expansion table. Per-(query, doc) scores use the same ordered
+    * fold as the single-query path, so every query's result is
+    * bit-identical to [[Searcher.referenceTopK]] (IndexSpec asserts this).
+    * Returns (query_id, rank, url, score). */
+  def batchReferenceTopK(spark: SparkSession, built: BuiltIndex,
+                         queries: Seq[String], n: Int): DataFrame = {
+    import spark.implicits._
+    // driver-side expansion: queries are tiny, terms lexicon-bounded
+    val weights = queries.zipWithIndex.flatMap { case (q, qi) =>
+      termWeights(q).zipWithIndex.map { case ((t, f), j) => (qi, t, f, j) }
+    }
+    val allTerms = weights.map(_._2).distinct
+    if (allTerms.isEmpty) return spark.emptyDataFrame
+      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
+      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+    val dict = built.dictionary
+      .filter($"term".isin(allTerms: _*))
+      .collect().map(d => d.term -> d).toMap
+    // idf==0 terms drop for every query (df is per-term, not per-query)
+    val live = weights.filter { case (_, t, _, _) =>
+      dict.get(t).exists(d => math.log((n / d.df).toDouble) / math.log(500.0) != 0.0)
+    }
+    if (live.isEmpty) return spark.emptyDataFrame
+      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
+      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+    val liveTerms = live.map(_._2).distinct
+    val dictB = spark.sparkContext.broadcast(dict)
+
+    // per-TERM block prune + decode, shared by every query in the batch
+    val wOrd = Window.partitionBy($"term").orderBy($"part_id".asc, $"seq".asc)
+    val pruned = built.blocks.filter($"term".isin(liveTerms: _*))
+      .withColumn("prior_postings",
+        coalesce(sum($"n").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"prior_postings" < 200)
+    val basePostings = pruned
+      .as[(String, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte], Long)]
+      .flatMap { case (term, pid, seq, nb, maxTf, docs, tfs, perm, prior) =>
+        IndexBuild.decodeBlock(graft.index.PostingBlock(term, pid, seq, nb, maxTf, docs, tfs, perm))
+          .iterator.zipWithIndex.collect {
+            case ((docId, tf), i) if prior + i < 200 =>
+              val d = dictB.value(term)
+              val idf = math.log((n / d.df).toDouble) / math.log(500.0)
+              (term, docId, (0.4 + 0.6 * tf / d.max_tf) * idf)
+          }
+      }.toDF("term", "doc_id", "base")
+
+    val weightsDf = broadcast(live.toDF("query_id", "term", "factor", "qidx"))
+    val scored = basePostings.join(weightsDf, Seq("term"))
+      .select($"query_id", $"doc_id", $"qidx", ($"base" * $"factor").as("s"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"qidx", $"s"))),
+        lit(0.0d), (acc, x) => acc + x.getField("s")).as("score"))
+
+    // docs point fetch: In-filter pushdown while the touched id set is
+    // small; a big batch's id set rides the broadcast join alone
+    val ids = scored.select($"doc_id").distinct().as[Long].collect()
+    val docsSide =
+      if (ids.length <= 2048)
+        built.docs.select($"doc_id", $"url").filter($"doc_id".isin(ids.toIndexedSeq: _*))
+      else built.docs.select($"doc_id", $"url")
+    val ranked = docsSide.join(broadcast(scored), Seq("doc_id"))
+    val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"url".asc)
+    ranked.withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 200)
+      .select($"query_id", $"rank", $"url", $"score")
+  }
+
   /** Reference-compat scorer as a Dataset job. Returns (url, score). */
   def referenceTopK(spark: SparkSession, built: BuiltIndex, query: String,
                     n: Int): DataFrame = {

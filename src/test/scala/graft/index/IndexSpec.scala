@@ -111,6 +111,17 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("batch query-log replay matches per-query serving bit-identically") {
+    val s = Searcher.fromIndex(built, numDocs)
+    val byQid = graft.query.QueryOps.batchReferenceTopK(spark, built, queries, numDocs)
+      .collect().groupBy(_.getInt(0))
+    for ((q, qi) <- queries.zipWithIndex) {
+      val got = byQid.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r.getDouble(3))).toList
+      assert(got == s.referenceTopK(q), s"batch query '$q'")
+    }
+  }
+
   test("build is deterministic across parallelism levels") {
     val built8 = IndexBuild.build(spark, Corpus.generate(spark, numDocs),
       Corpus.lexicon, parts = 11, blockSize = 64)

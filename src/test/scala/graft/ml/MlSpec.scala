@@ -168,6 +168,35 @@ class MlSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("centroid"), plan)
   }
 
+  test("PQ/ADC approximates exact L2 nearest neighbors on clustered data") {
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rng.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.toIndexedSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 5)
+    val q = vecs.head._2.map(_.toDouble).toArray
+    val codes = Pq.encode(df.filter($"vec_id" > 0), "vec_id", "embedding", model)
+    val adc = Pq.adcTopK(codes, "vec_id", q, model, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // PQ resolution is bounded by quantization error: within a tight
+    // cluster (σ=0.05) member ordering is not recoverable, but cluster
+    // membership is. Assert recall against the exact top-50 (== the
+    // query's whole cluster): every ADC hit must be a true near neighbor.
+    val brute50 = vecs.tail.map { case (id, v) =>
+      val d = v.zip(q).map { case (x, qd) => (x - qd) * (x - qd) }.sum
+      (id, d)
+    }.sortBy(x => (x._2, x._1)).take(50).map(_._1).toSet
+    assert(adc.forall(brute50.contains), s"ADC hit outside true top-50: $adc")
+    assert(adc.forall(_ % 4 == 0), s"ADC hit from a wrong cluster: $adc")
+    // codes really are m small ids
+    val c0 = codes.head().getSeq[Int](1)
+    assert(c0.length == 4 && c0.forall(ci => ci >= 0 && ci < 8))
+  }
+
   test("language id heuristic") {
     assert(TextAnalysis.langIdOf("the cat and the dog was in the house") == "en")
     assert(TextAnalysis.langIdOf("der hund und die katze ist nicht da") == "de")
