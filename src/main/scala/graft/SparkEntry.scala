@@ -26,11 +26,16 @@ object SparkEntry {
     * (synthetic corpus, LSH bucket assignments, link graph) dump those
     * DETERMINISTIC inputs here so the DuckDB oracle can recompute the result
     * independently via read_parquet. These are inputs, not results — the SQL
-    * re-derives every downstream step (ids, serving order, scoring, top-k). */
-  val AuxDir = "/tmp/graft_aux"
+    * re-derives every downstream step (ids, serving order, scoring, top-k).
+    *
+    * The location is a system property so [[Verify]] can co-locate the aux
+    * tables with its output dir (which the DuckDB compare provably reads);
+    * oracle SQL embeds the resolved absolute path because [[oracleSql]] is
+    * generated in the same JVM AFTER the queries ran. */
+  def auxDir: String = sys.props.getOrElse("graft.aux.dir", "/tmp/graft_aux")
 
   private def dumpAux(df: DataFrame, name: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/$name")
+    df.coalesce(1).write.mode("overwrite").parquet(s"${auxDir}/$name")
 
   /** Partition count for the in-query corpus index builds: these corpora
     * are small (500-2000 docs), where 32-way stages cost more in
@@ -105,7 +110,7 @@ object SparkEntry {
       else
         "SELECT url, round(score, 6) AS score FROM comb ORDER BY score DESC, url ASC LIMIT 200"
     s"""WITH t(term, factor, qidx) AS (VALUES $vals),
-       tr AS (SELECT * FROM read_parquet('$AuxDir/$triplesName/*.parquet')),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
        dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
        posts AS (
          SELECT tr.url, tr.tf, d.df, d.max_tf, t.factor, t.qidx,
@@ -131,7 +136,7 @@ object SparkEntry {
       .flatMap((t: String) => Set(t, graft.text.PorterStemmer.stem(t)))
       .toSeq.sorted
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tr AS (SELECT * FROM read_parquet('$AuxDir/$triplesName/*.parquet')),
+    s"""WITH tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
        docs AS (SELECT url, sum(tf) AS dl FROM tr GROUP BY url),
        stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*) AS nd FROM docs),
        dict AS (SELECT term, count(*) AS df FROM tr GROUP BY term),
@@ -155,8 +160,8 @@ object SparkEntry {
     * inner-join dangling drop, +0.15 flat offset). */
   private def pagerankSql(iters: Int): String = {
     val head =
-      s"""WITH nodes AS (SELECT url FROM read_parquet('$AuxDir/q32_nodes/*.parquet')),
-         edges AS (SELECT src, dst FROM read_parquet('$AuxDir/q32_edges/*.parquet')),
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q32_nodes/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/q32_edges/*.parquet')),
          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          live AS (SELECT e.src, e.dst FROM edges e JOIN nodes nn ON e.dst = nn.url),
          r0 AS (SELECT url, 1.0e0 AS rank FROM nodes)"""
@@ -503,7 +508,7 @@ object SparkEntry {
       dumpAux(keyed.sortWithinPartitions("key"), "q36_pages")
       val keys = detailDocIds
         .map(i => graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)))
-      s.read.parquet(s"$AuxDir/q36_pages").filter(col("key").isin(keys: _*))
+      s.read.parquet(s"${auxDir}/q36_pages").filter(col("key").isin(keys: _*))
         .select(col("url"), col("html")).as[(String, String)]
         .map { case (u, h) =>
           val info = graft.query.DocDetail.pageInfo(u, Some(h))
@@ -531,7 +536,7 @@ object SparkEntry {
       }
     }.mkString(", ")
     s"""WITH t(qid, term, factor, qidx) AS (VALUES $vals),
-       tr AS (SELECT * FROM read_parquet('$AuxDir/$triplesName/*.parquet')),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
        dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
        posts AS (
          SELECT tr.term, tr.url, tr.tf, d.df, d.max_tf,
@@ -564,7 +569,7 @@ object SparkEntry {
     val keys = detailDocIds
       .map(i => "'" + graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)) + "'")
       .mkString(", ")
-    s"""WITH p AS (SELECT url, html FROM read_parquet('$AuxDir/q36_pages/*.parquet')
+    s"""WITH p AS (SELECT url, html FROM read_parquet('${auxDir}/q36_pages/*.parquet')
                    WHERE key IN ($keys)),
        x AS (SELECT url,
                     trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -806,16 +811,16 @@ object SparkEntry {
     "q26_ann_ivf" ->
       s"""SELECT a.vec_id,
           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
-          FROM read_parquet('$AuxDir/q26_assigned/*.parquet') a
+          FROM read_parquet('${auxDir}/q26_assigned/*.parquet') a
           JOIN embeddings e ON e.vec_id = a.vec_id
-          JOIN read_parquet('$AuxDir/q26_probe/*.parquet') p ON a.centroid = p.centroid
+          JOIN read_parquet('${auxDir}/q26_probe/*.parquet') p ON a.centroid = p.centroid
           CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
                    a.vec_id ASC
           LIMIT 10""",
 
     "q27_emb_dup_pairs" ->
-      s"""WITH b AS (SELECT * FROM read_parquet('$AuxDir/q27_buckets/*.parquet')),
+      s"""WITH b AS (SELECT * FROM read_parquet('${auxDir}/q27_buckets/*.parquet')),
           sizes AS (SELECT "table", bucket FROM b GROUP BY "table", bucket
                     HAVING count(*) <= 10000),
           capped AS (SELECT b.* FROM b JOIN sizes USING ("table", bucket)),
@@ -832,7 +837,7 @@ object SparkEntry {
     "q29_media_features" ->
       s"""WITH a AS (
             SELECT asset_id, kind, octet_length(media) AS nb, hex(media) AS hx
-            FROM read_parquet('$AuxDir/q29_assets/*.parquet')),
+            FROM read_parquet('${auxDir}/q29_assets/*.parquet')),
           f AS (
             SELECT asset_id, kind, nb,
                    (list_sum([('0x' || substr(hx, 2*i + 1, 2))::BIGINT / 255.0e0
@@ -847,7 +852,7 @@ object SparkEntry {
     "q32_pagerank" -> pagerankSql(15),
     "q33_dictionary" ->
       s"""SELECT term, count(*) AS df, max(tf) AS max_tf
-          FROM read_parquet('$AuxDir/q33_triples/*.parquet')
+          FROM read_parquet('${auxDir}/q33_triples/*.parquet')
           GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
     "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false),
     "q36_doc_detail" -> docDetailSql(500L),
@@ -856,7 +861,7 @@ object SparkEntry {
 
     "q38_pq_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-          cb AS (SELECT m, cid, sub FROM read_parquet('$AuxDir/q38_codebooks/*.parquet')),
+          cb AS (SELECT m, cid, sub FROM read_parquet('${auxDir}/q38_codebooks/*.parquet')),
           dist AS (
             SELECT cb.m, cb.cid,
                    list_reduce([ (cb.sub[i] - q.v[cb.m * 8 + i])
@@ -864,7 +869,7 @@ object SparkEntry {
                                  for i in generate_series(1, 8) ],
                                (a, b) -> a + b) AS dd
             FROM cb CROSS JOIN q),
-          codes AS (SELECT vec_id, code FROM read_parquet('$AuxDir/q38_codes/*.parquet')),
+          codes AS (SELECT vec_id, code FROM read_parquet('${auxDir}/q38_codes/*.parquet')),
           pairs AS (SELECT c.vec_id, g.i - 1 AS m, c.code[g.i] AS cid
                     FROM codes c CROSS JOIN generate_series(1, 8) AS g(i)),
           joined AS (SELECT p.vec_id, p.m, d.dd FROM pairs p JOIN dist d USING (m, cid)),

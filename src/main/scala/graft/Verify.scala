@@ -20,6 +20,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // co-locate oracle aux-input tables with the output the DuckDB compare
+    // reads (same filesystem guaranteed); oracle SQL embeds this path
+    System.setProperty("graft.aux.dir",
+      new java.io.File(outDir, "_aux").getAbsolutePath)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
