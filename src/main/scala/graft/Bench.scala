@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
   *     local[SPARK_GRAFT_CPUS] (the driver's cross-round comparable).
   *  2. `scaling` — the north-rule evidence: the SAME inverted-index build
   *     (fixed synthetic corpus, fixed seed) at local[N] and local[4N]
-  *     (default 4 vs 16 — see BASELINE.md for why, and for the full
-  *     methodology: forked pinned JVMs, warmup, tmpfs shuffle, steal
-  *     gating) on identical input; docs/sec at both + per-stage timings +
+  *     (default 2 vs 8 — see BASELINE.md for why, and for the full
+  *     methodology: forked pinned JVMs with the parent pinned AWAY,
+  *     interleaved best-of-N reps, warmup, tmpfs shuffle, steal readings)
+  *     on identical input; docs/sec at both + per-stage timings +
   *     efficiency = (thr_hi/thr_lo)/(cores_hi/cores_lo), target ≥ 0.8.
   *     Shuffle partitions scale with cores, as they would across cluster
   *     sizes. Also BM25+reference query p95 (ms, driver-side serving, no
@@ -188,7 +189,19 @@ object Bench {
         // steal, so each level is run up to 3×, and the best run reported.
         val (loC, hiC) = (sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt,
                           sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt)
-        val maxTries = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+        val maxTries = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+        // pin THIS (parent) JVM to the last two cores for the duration of
+        // the scaling section: its GC/daemon threads otherwise land on the
+        // child's cores 0..N-1 and steal cycles from the pinned
+        // low-parallelism child (measured ~10-20% drag on local[2])
+        try {
+          val nCores = Runtime.getRuntime.availableProcessors()
+          if (nCores > hiC + 1) {
+            val pid = ProcessHandle.current().pid()
+            new ProcessBuilder("taskset", "-cp", s"${nCores - 2}-${nCores - 1}",
+              pid.toString).inheritIO().start().waitFor()
+          }
+        } catch { case _: Exception => () } // best-effort; harmless if absent
         // INTERLEAVED best-of-N (lo,hi,lo,hi,…): this host's noise comes in
         // multi-minute contention phases — running all reps of one level
         // back-to-back lets a single phase poison that whole level (and the
