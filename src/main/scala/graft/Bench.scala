@@ -157,6 +157,12 @@ object Bench {
 
     // ---- section 1: driver-contract query timings ----
     val spark = session(cpus)
+    // untimed warmup (corpus gen → index build → serve): whichever query
+    // happens to run first otherwise absorbs all one-time codegen/classload
+    // costs and its number stops being about the query (q35 measured 3-4×
+    // its steady-state time in earlier rounds purely from map order)
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
