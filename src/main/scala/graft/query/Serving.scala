@@ -1,0 +1,64 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.util.RefHasher
+
+/** The reference Backend's two HTTP response bodies, composed end-to-end
+  * over this engine's artifacts (the Spark library's "switch-over surface"
+  * for a reference user; the HTTP framing itself is out of scope per the
+  * north rule — these are the exact payload strings).
+  *
+  *  - `GET /query?query=…` → ranked-result JSON array
+  *    (Backend.java:74-139, 613-635);
+  *  - `GET /query/:url` → page-info JSON object (Backend.java:416-482,
+  *    638-655) — a point lookup on the pages table keyed by
+  *    `Hasher.hash(url)` feeding the title-regex info map.
+  */
+object Serving {
+
+  /** Backend.toJson over Backend.getPageInfo — key ORDER replicated
+    * bug-for-bug by building the SAME `java.util.HashMap` with the
+    * reference's insertion sequence and iterating its entry set (the
+    * reference serializes HashMap iteration order, Backend.java:638-655;
+    * deterministic for this fixed key set). Quirk preserved: the extracted
+    * title lands under "abstract", "title" stays the url. */
+  def pageInfoJson(url: String, page: Option[String]): String = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("url", url)
+    m.put("title", url)
+    m.put("abstract", "No Information Available")
+    page.filter(_.nonEmpty).foreach { p =>
+      val t = DocDetail.getTitle(p)
+      if (t != null && t.nonEmpty) m.put("abstract", t)
+    }
+    val sb = new StringBuilder("{")
+    var first = true
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!first) sb.append(",")
+      sb.append("\"").append(e.getKey).append("\":\"").append(e.getValue).append("\"")
+      first = false
+    }
+    sb.append("}").toString
+  }
+
+  /** `GET /query` response body: rank via any scorer tier (eager searcher,
+    * LazySearcher, …), serialize like Backend.java:613-635. */
+  def searchJson(topK: String => List[(String, Double)], query: String): String =
+    DocDetail.toJsonArray(topK(query))
+
+  /** `GET /query/:url` response body: point lookup on a pages table keyed
+    * by the reference row-key hash (written key-sorted → row-group-pruned
+    * fetch), then the info map. Missing url → the default info map, like
+    * the reference's null-row branch. */
+  def detailJson(spark: SparkSession, pagesDir: String, url: String): String = {
+    val key = RefHasher.hash(url)
+    val row = spark.read.parquet(pagesDir)
+      .filter(col("key") === key)
+      .select(col("html"))
+      .collect().headOption
+    pageInfoJson(url, row.map(_.getString(0)))
+  }
+}

@@ -135,6 +135,22 @@ class IndexSpec extends AnyFunSuite {
     assert(d5 == d8)
   }
 
+  test("empty corpus and empty/absent queries degrade gracefully") {
+    import spark.implicits._
+    val empty = IndexBuild.build(spark, spark.emptyDataset[graft.corpus.Page],
+      Corpus.lexicon, parts = 2, blockSize = 64)
+    assert(empty.docs.count() == 0)
+    assert(empty.dictionary.count() == 0)
+    assert(empty.blocks.count() == 0)
+    val s0 = Searcher.fromIndex(empty, 1000)
+    assert(s0.referenceTopK("galaxy engine") == Nil)
+    assert(s0.bm25TopK("galaxy engine") == Nil)
+    val full = Searcher.fromIndex(built, numDocs)
+    assert(full.referenceTopK("") == Nil)
+    assert(full.referenceTopK("zzzabsent qqqmissing") == Nil)
+    assert(full.bm25TopK("") == Nil)
+  }
+
   test("url hygiene filter matches reference semantics on adversarial urls") {
     import spark.implicits._
     // clean corpus + pages whose urls URL-decode to kept (space, '+'),
