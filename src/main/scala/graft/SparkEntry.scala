@@ -35,7 +35,34 @@ object SparkEntry {
   def auxDir: String = sys.props.getOrElse("graft.aux.dir", "/tmp/graft_aux")
 
   private def dumpAux(df: DataFrame, name: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(s"${auxDir}/$name")
+    df.write.mode("overwrite").parquet(s"${auxDir}/$name")
+
+  /** Single-file KEY-SORTED layout — for tables whose point is row-group
+    * min/max pruning of point lookups (q36 pages). A plain coalesce(1) after
+    * sortWithinPartitions would concatenate sorted partitions in partition-
+    * index order (NOT globally sorted); repartition(1)+sort is. */
+  private def dumpAuxSorted(df: DataFrame, name: String, key: String): Unit =
+    df.repartition(1).sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(s"${auxDir}/$name")
+
+  /** In-query corpus index builds + searchers are cached per (session,
+    * corpus size): the index is an ARTIFACT — built once, served by every
+    * query over that corpus — so q30/q31 (2000 docs) and q33/q35/q39/q40
+    * (1000 docs) share one build instead of re-tokenizing per query. Keyed
+    * by applicationId so entries never cross Spark sessions. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.index.BuiltIndex]()
+  private val searcherCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.query.Searcher]()
+
+  private def builtFor(s: SparkSession, n: Int): graft.index.BuiltIndex =
+    indexCache.computeIfAbsent((s.sparkContext.applicationId, n), _ =>
+      graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
+        graft.corpus.Corpus.lexicon, parts = searchParts(s)))
+
+  private def searcherFor(s: SparkSession, n: Int): graft.query.Searcher =
+    searcherCache.computeIfAbsent((s.sparkContext.applicationId, n), _ =>
+      graft.query.Searcher.fromIndex(builtFor(s, n), n))
 
   /** Partition count for the in-query corpus index builds: these corpora
     * are small (500-2000 docs), where 32-way stages cost more in
@@ -45,11 +72,17 @@ object SparkEntry {
     math.min(s.sparkContext.defaultParallelism, 8)
 
   /** (url, term, tf) tokenizer triples of the n-doc seed-42 corpus — the
-    * oracle input for the search/dictionary queries. Tokenization itself is
-    * verified byte-identically against the COMPILED reference classes in
+    * oracle input for the search/dictionary queries, dumped ONCE per corpus
+    * size per JVM (q30/q31 share triples_2000; q33/q35/q39/q40 share
+    * triples_1000 — one tokenize pass instead of five). Tokenization itself
+    * is verified byte-identically against the COMPILED reference classes in
     * TextSpec; the SQL oracle independently recomputes everything the
     * distributed engine does downstream of tokenize. */
-  private def dumpTriples(s: SparkSession, n: Int, name: String): Unit = {
+  private val dumpedTriples = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def triplesName(n: Int): String = s"triples_$n"
+  private def dumpTriplesOnce(s: SparkSession, n: Int): Unit = {
+    val name = triplesName(n)
+    if (!dumpedTriples.add(s"${auxDir}/$name")) return
     import s.implicits._
     val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
     val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
@@ -59,16 +92,13 @@ object SparkEntry {
     dumpAux(triples, name)
   }
 
-  /** Build the index over an n-doc synthetic corpus and run one reference-
-    * scored query, returning (rank, url, score) rows. */
+  /** Build (or reuse) the index over an n-doc synthetic corpus and run one
+    * reference-scored query, returning (rank, url, score) rows. */
   private def searchQuery(spark: SparkSession, numDocs: Int, query: String,
-                          dumpName: Option[String] = None): DataFrame = {
+                          dump: Boolean = false): DataFrame = {
     import spark.implicits._
-    dumpName.foreach(nm => dumpTriples(spark, numDocs, nm))
-    val built = graft.index.IndexBuild.build(
-      spark, graft.corpus.Corpus.generate(spark, numDocs), graft.corpus.Corpus.lexicon,
-      parts = searchParts(spark))
-    val searcher = graft.query.Searcher.fromIndex(built, numDocs)
+    if (dump) dumpTriplesOnce(spark, numDocs)
+    val searcher = searcherFor(spark, numDocs)
     val hits = searcher.referenceTopK(query)
     spark.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
       (i + 1, url, math.rint(score * 1e6) / 1e6)
@@ -418,15 +448,12 @@ object SparkEntry {
 
     // ---- the search engine itself (domain ops over the pages corpus) ----
     "q30_search_reference" -> ((s, _) =>
-      searchQuery(s, 2000, "galaxy engine search", dumpName = Some("q30_triples"))),
+      searchQuery(s, 2000, "galaxy engine search", dump = true)),
     "q31_search_bm25" -> ((s, _) => {
       import s.implicits._
       val n = 2000
-      dumpTriples(s, n, "q31_triples")
-      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
-        graft.corpus.Corpus.lexicon, parts = searchParts(s))
-      val searcher = graft.query.Searcher.fromIndex(built, n)
-      val hits = searcher.bm25TopK("distributed storage system", 20)
+      dumpTriplesOnce(s, n)
+      val hits = searcherFor(s, n).bm25TopK("distributed storage system", 20)
       s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
         (i + 1, url, math.rint(score * 1e6) / 1e6)
       }).toDF("rank", "url", "score")
@@ -462,17 +489,14 @@ object SparkEntry {
     // driver-side searcher (IndexSpec)
     "q35_search_dataset" -> ((s, _) => {
       val n = 1000
-      dumpTriples(s, n, "q35_triples")
-      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
-        graft.corpus.Corpus.lexicon, parts = searchParts(s))
-      graft.query.QueryOps.referenceTopK(s, built, "prince officer soldier", n)
+      dumpTriplesOnce(s, n)
+      graft.query.QueryOps.referenceTopK(s, builtFor(s, n), "prince officer soldier", n)
         .select(col("url"), round(col("score"), 6).as("score"))
     }),
     "q33_dictionary" -> ((s, _) => {
-      dumpTriples(s, 1000, "q33_triples")
-      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, 1000),
-        graft.corpus.Corpus.lexicon, parts = searchParts(s))
-      built.dictionary.toDF().orderBy(col("df").desc, col("term").asc).limit(100)
+      dumpTriplesOnce(s, 1000)
+      builtFor(s, 1000).dictionary.toDF()
+        .orderBy(col("df").desc, col("term").asc).limit(100)
     }),
 
     // ---- query-log replay: score a BATCH of queries in one distributed
@@ -480,10 +504,8 @@ object SparkEntry {
     // per-query results bit-identical to the serving scorer (IndexSpec) ----
     "q39_batch_queries" -> ((s, _) => {
       val n = 1000
-      dumpTriples(s, n, "q39_triples")
-      val built = graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
-        graft.corpus.Corpus.lexicon, parts = searchParts(s))
-      graft.query.QueryOps.batchReferenceTopK(s, built, batchQueries, n)
+      dumpTriplesOnce(s, n)
+      graft.query.QueryOps.batchReferenceTopK(s, builtFor(s, n), batchQueries, n)
         .select(col("query_id"), col("rank"), col("url"), round(col("score"), 6).as("score"))
     }),
 
@@ -505,7 +527,7 @@ object SparkEntry {
       val keyed = graft.corpus.Corpus.generate(s, n)
         .map(p => (graft.util.RefHasher.hash(p.url), p.url, new String(p.html, "UTF-8")))
         .toDF("key", "url", "html")
-      dumpAux(keyed.sortWithinPartitions("key"), "q36_pages")
+      dumpAuxSorted(keyed, "q36_pages", "key")
       val keys = detailDocIds
         .map(i => graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)))
       s.read.parquet(s"${auxDir}/q36_pages").filter(col("key").isin(keys: _*))
@@ -847,17 +869,17 @@ object SparkEntry {
                  round(sum(f0::DOUBLE), 2) AS f0_sum
           FROM f GROUP BY kind""",
 
-    "q30_search_reference" -> refSearchSql("galaxy engine search", 2000, "q30_triples", withRank = true),
-    "q31_search_bm25" -> bm25Sql("distributed storage system", 20, "q31_triples"),
+    "q30_search_reference" -> refSearchSql("galaxy engine search", 2000, triplesName(2000), withRank = true),
+    "q31_search_bm25" -> bm25Sql("distributed storage system", 20, triplesName(2000)),
     "q32_pagerank" -> pagerankSql(15),
     "q33_dictionary" ->
       s"""SELECT term, count(*) AS df, max(tf) AS max_tf
-          FROM read_parquet('${auxDir}/q33_triples/*.parquet')
+          FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')
           GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
-    "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, "q35_triples", withRank = false),
+    "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, triplesName(1000), withRank = false),
     "q36_doc_detail" -> docDetailSql(500L),
 
-    "q39_batch_queries" -> batchSearchSql(1000, "q39_triples"),
+    "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
 
     "q38_pq_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),

@@ -12,27 +12,40 @@ import graft.text.{PorterStemmer, Text}
   * as analytical jobs over the index tables (batch scoring, query-log
   * replay); the driver-side path serves interactive p95.
   *
-  * Plan shape:
+  * Plan shape (shared by single-query and batch replay — a single query IS
+  * a batch of one):
   *  1. blocks are filtered by query term (parquet min/max pushdown when the
   *     blocks table is read term-sorted from disk);
   *  2. block-metadata pruning BEFORE decode: the reference's per-term
   *     200-posting cap means any block whose preceding blocks (in serving
-  *     order) already hold ≥200 postings can be skipped — a window cumsum
-  *     over block headers, no posting decoded;
-  *  3. surviving blocks decode via flatMap; serving rank within term =
-  *     window row_number over ((part_id, seq) block order, in-block serving
-  *     order); cap 200;
-  *  4. tfidf from the BROADCAST dictionary (df → idf with the reference's
-  *     int division; max_tf → exact tfn) × stem factor;
-  *  5. groupBy url sum, orderBy (score desc, url asc), limit 200.
+  *     order) already hold ≥ 200+skippable postings can be skipped — a
+  *     window cumsum over block headers, no posting decoded;
+  *  3. surviving blocks of one term are walked in serving order in ONE task
+  *     (terms parallelize across tasks — the same shape as the reference
+  *     Backend's one-KVS-row-per-term fetch, Backend.java:221), applying
+  *     the per-posting url hygiene filter BEFORE the 200-cap
+  *     (Backend.java:268-273): postings of hygiene-dirty docs are skipped
+  *     without counting, and a doc whose url throws in URLDecoder empties
+  *     the whole term (Backend.java:309-313) — bug-for-bug, oracle-tested
+  *     on the adversarial corpus in IndexSpec. Emits the per-term tfidf
+  *     base (reference tfn × int-division log₅₀₀ idf) and the CLEAN serving
+  *     rank;
+  *  4. the broadcast (query_id, term, factor, qidx) expansion table fans
+  *     each term's postings out to its queries — each posting block of a
+  *     shared term is decoded ONCE for the entire batch;
+  *  5. urls are point-fetched for the capped id set (In-filter pushdown
+  *     into the doc_id-sorted docs table while the set is small; shuffle
+  *     join above the threshold — never an unconditional broadcast of the
+  *     batch-sized scored side), URL-decoded (the reference combines and
+  *     returns DECODED urls), and per-(query, url) scores fold in
+  *     (query-term order, serving order) — bit-identical to
+  *     [[Searcher.referenceTopK]]'s sequential accumulation.
   *
-  * Known parity bound: the Backend's per-posting url-decode hygiene filter
-  * (Backend.java:268-273; implemented in [[Searcher.termTfidf]] and the
-  * oracle) is NOT applied here — it must run before the 200-cap, which in
-  * this plan would force a docs join ahead of the cap. This path therefore
-  * assumes canonicalized urls (the corpus contract); on dirty corpora use
-  * the Searcher/LazySearcher tiers, whose filter is oracle-tested against
-  * adversarial urls in IndexSpec.
+  * Hygiene sets at scale: dirty/throwing docs are docs with malformed or
+  * unclean URLs — a tiny fraction of any real crawl by construction (the
+  * crawler's own normalizer rejects most). Both sets are collected and
+  * broadcast; a corpus where they outgrow driver memory would swap in a
+  * Bloom-filter pre-screen with an exact per-term verify, same walk.
   */
 object QueryOps {
 
@@ -49,161 +62,191 @@ object QueryOps {
     m.toSeq
   }
 
+  /** Reference url hygiene classification (Backend.java:268-273,309-324):
+    * 0 = clean, 1 = skipped (doesn't count toward the 200-cap), 2 = throws
+    * in URLDecoder (empties the whole posting list of every term the doc
+    * appears in). Doc-level: depends only on the stored url. */
+  private[query] def classifyUrl(url: String): Int =
+    try {
+      val dec = java.net.URLDecoder.decode(url.trim, "UTF-8")
+      if (dec == null || dec.isEmpty || dec == "null" || dec.contains("\"") ||
+          Searcher.hasControlChar(dec)) 1
+      else 0
+    } catch { case _: Exception => 2 }
+
+  /** (skip ids, throw ids) — one narrow scan over the docs table; both sets
+    * are tiny on any real corpus (see class doc). */
+  private def hygieneSets(built: BuiltIndex): (Set[Long], Set[Long]) = {
+    val spark = built.docs.sparkSession
+    import spark.implicits._
+    val flagged = built.docs
+      .map(d => (d.doc_id, classifyUrl(d.url)))
+      .filter(_._2 != 0)
+      .collect()
+    (flagged.collect { case (id, 1) => id }.toSet,
+     flagged.collect { case (id, 2) => id }.toSet)
+  }
+
+  /** SINGLE-query reference scorer as a Dataset job — a batch of one.
+    * Returns (url, score) in rank order, urls URL-decoded like the
+    * reference's response. */
+  def referenceTopK(spark: SparkSession, built: BuiltIndex, query: String,
+                    n: Int): DataFrame =
+    batchReferenceTopK(spark, built, Seq(query), n)
+      .orderBy(col("rank").asc)
+      .select(col("url"), col("score"))
+
   /** QUERY-LOG REPLAY: score a whole batch of queries in ONE distributed
     * pass — the at-scale serving workload (offline eval, log replay,
-    * relevance regression). Each posting block of a shared term is decoded
-    * ONCE for the entire batch, not once per query: blocks are pruned and
-    * decoded per TERM, then joined against the broadcast (query_id, term,
-    * factor) expansion table. Per-(query, doc) scores use the same ordered
-    * fold as the single-query path, so every query's result is
-    * bit-identical to [[Searcher.referenceTopK]] (IndexSpec asserts this).
-    * Returns (query_id, rank, url, score). */
+    * relevance regression). Results per query are bit-identical to
+    * [[Searcher.referenceTopK]] (IndexSpec asserts this, including on the
+    * adversarial-url corpus). Returns (query_id, rank, url, score).
+    *
+    * `isinThreshold`: max touched-doc-id count pushed down as an In-filter
+    * (point-pruned scan + broadcast of the tiny url slice); above it the
+    * docs join degrades gracefully. `broadcastRowCap`: max worst-case
+    * scored-side rows (Σ live query-terms × 200) still hinted for
+    * broadcast; above it NO hint is placed and AQE picks the join strategy
+    * from runtime sizes — a 10⁵-query replay must never broadcast
+    * gigabytes of scored rows to every executor. */
   def batchReferenceTopK(spark: SparkSession, built: BuiltIndex,
-                         queries: Seq[String], n: Int): DataFrame = {
+                         queries: Seq[String], n: Int,
+                         isinThreshold: Int = 2048,
+                         broadcastRowCap: Long = 100000L): DataFrame = {
     import spark.implicits._
+    def emptyResult: DataFrame = spark.emptyDataFrame
+      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
+      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+
     // driver-side expansion: queries are tiny, terms lexicon-bounded
     val weights = queries.zipWithIndex.flatMap { case (q, qi) =>
       termWeights(q).zipWithIndex.map { case ((t, f), j) => (qi, t, f, j) }
     }
     val allTerms = weights.map(_._2).distinct
-    if (allTerms.isEmpty) return spark.emptyDataFrame
-      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
-      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+    if (allTerms.isEmpty) return emptyResult
     val dict = built.dictionary
       .filter($"term".isin(allTerms: _*))
       .collect().map(d => d.term -> d).toMap
     // idf==0 terms drop for every query (df is per-term, not per-query)
-    val live = weights.filter { case (_, t, _, _) =>
-      dict.get(t).exists(d => math.log((n / d.df).toDouble) / math.log(500.0) != 0.0)
-    }
-    if (live.isEmpty) return spark.emptyDataFrame
-      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
-      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+    def idfOf(t: String): Double =
+      dict.get(t).map(d => math.log((n / d.df).toDouble) / math.log(500.0)).getOrElse(0.0)
+    val live = weights.filter { case (_, t, _, _) => idfOf(t) != 0.0 }
+    if (live.isEmpty) return emptyResult
     val liveTerms = live.map(_._2).distinct
-    val dictB = spark.sparkContext.broadcast(dict)
 
-    // per-TERM block prune + decode, shared by every query in the batch
-    val wOrd = Window.partitionBy($"term").orderBy($"part_id".asc, $"seq".asc)
-    val pruned = built.blocks.filter($"term".isin(liveTerms: _*))
-      .withColumn("prior_postings",
-        coalesce(sum($"n").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter($"prior_postings" < 200)
-    val basePostings = pruned
-      .as[(String, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte], Long)]
-      .flatMap { case (term, pid, seq, nb, maxTf, docs, tfs, perm, prior) =>
-        IndexBuild.decodeBlock(graft.index.PostingBlock(term, pid, seq, nb, maxTf, docs, tfs, perm))
-          .iterator.zipWithIndex.collect {
-            case ((docId, tf), i) if prior + i < 200 =>
-              val d = dictB.value(term)
-              val idf = math.log((n / d.df).toDouble) / math.log(500.0)
-              (term, docId, (0.4 + 0.6 * tf / d.max_tf) * idf)
-          }
-      }.toDF("term", "doc_id", "base")
+    val (skipIds, throwIds) = hygieneSets(built)
+    val postings = walkTermPostings(spark, built, liveTerms, dict, n, skipIds, throwIds)
 
+    // fan each term's walked postings out to its queries; the expansion
+    // table is always tiny (queries × terms rows)
     val weightsDf = broadcast(live.toDF("query_id", "term", "factor", "qidx"))
-    val scored = basePostings.join(weightsDf, Seq("term"))
-      .select($"query_id", $"doc_id", $"qidx", ($"base" * $"factor").as("s"))
-      .groupBy($"query_id", $"doc_id")
+    val contrib = postings.join(weightsDf, Seq("term"))
+      .select($"query_id", $"doc_id", $"qidx", $"rank".as("term_rank"),
+        ($"base" * $"factor").as("s"))
+
+    // urls for the capped id set (≤ 200 × live terms, shared across queries)
+    val ids = postings.select($"doc_id").distinct().as[Long].collect()
+    if (ids.isEmpty) return emptyResult
+    // total function: throwing urls decode to null (their docs never appear
+    // in the walk output, so they never match the join — but the full-docs
+    // branch maps EVERY row and must not fail on them)
+    val decodeUrl = udf((u: String) =>
+      try java.net.URLDecoder.decode(u.trim, "UTF-8")
+      catch { case _: Exception => null })
+    val joined =
+      if (ids.length <= isinThreshold) {
+        // point fetch: In-filter pushdown prunes the doc_id-sorted docs
+        // table to the touched row groups; the url slice (≤ ids rows) is
+        // the broadcast side — NOT the batch-sized scored side
+        val urls = built.docs.select($"doc_id", decodeUrl($"url").as("url"))
+          .filter($"doc_id".isin(ids.toIndexedSeq: _*))
+        contrib.join(broadcast(urls), Seq("doc_id"))
+      } else {
+        val urls = built.docs.select($"doc_id", decodeUrl($"url").as("url"))
+        val contribUpper = live.size.toLong * 200L
+        if (contribUpper <= broadcastRowCap) urls.join(broadcast(contrib), Seq("doc_id"))
+        else urls.join(contrib, Seq("doc_id")) // AQE picks from runtime sizes
+      }
+
+    // per-(query, DECODED url) score = FOLD of contributions in (query-term
+    // order, serving order) — exactly the reference's TreeMap accumulation
+    // sequence, immune to partition-order reassociation
+    val scored = joined
+      .groupBy($"query_id", $"url")
       .agg(aggregate(
-        sort_array(collect_list(struct($"qidx", $"s"))),
+        sort_array(collect_list(struct($"qidx", $"term_rank", $"s"))),
         lit(0.0d), (acc, x) => acc + x.getField("s")).as("score"))
 
-    // docs point fetch: In-filter pushdown while the touched id set is
-    // small; a big batch's id set rides the broadcast join alone
-    val ids = scored.select($"doc_id").distinct().as[Long].collect()
-    val docsSide =
-      if (ids.length <= 2048)
-        built.docs.select($"doc_id", $"url").filter($"doc_id".isin(ids.toIndexedSeq: _*))
-      else built.docs.select($"doc_id", $"url")
-    val ranked = docsSide.join(broadcast(scored), Seq("doc_id"))
     val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"url".asc)
-    ranked.withColumn("rank", row_number().over(wRank))
+    scored.withColumn("rank", row_number().over(wRank))
       .filter($"rank" <= 200)
       .select($"query_id", $"rank", $"url", $"score")
   }
 
-  /** Reference-compat scorer as a Dataset job. Returns (url, score). */
-  def referenceTopK(spark: SparkSession, built: BuiltIndex, query: String,
-                    n: Int): DataFrame = {
+  /** Per-term serving-order walk with the hygiene filter applied BEFORE the
+    * 200-cap. Blocks of each term are pruned by the window cumsum (a block
+    * can only matter while prior CLEAN postings < 200; prior_raw −
+    * skippable-docs bounds that from below), then hash-repartitioned so one
+    * task walks one term's blocks in (part_id, seq) order — early-exiting
+    * at 200 clean postings, skipping hygiene-dirty docs without counting,
+    * and discarding the whole term when a throwing doc is encountered
+    * before the cap. Emits (term, doc_id, rank, base) where rank is the
+    * CLEAN serving rank and base = tfn × idf (stem factor applied later
+    * per query). */
+  private def walkTermPostings(spark: SparkSession, built: BuiltIndex,
+                               terms: Seq[String],
+                               dict: Map[String, graft.index.DictEntry],
+                               n: Int, skipIds: Set[Long],
+                               throwIds: Set[Long]): DataFrame = {
     import spark.implicits._
-    val surface = Text.parseQuery(query)
-    val expanded: Seq[(String, Boolean)] =
-      surface.map(t => (t, false)) ++
-        surface.flatMap { t =>
-          val s = PorterStemmer.stem(t)
-          if (s != t) Some((s, true)) else None
-        }
-    // term → (stemFactor) with put-overwrite semantics (later stem entry
-    // overwrites an equal surface term, Backend.java:92)
-    val termFactor = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for ((t, isStem) <- expanded if t.nonEmpty)
-      termFactor.put(t, if (isStem) 0.7 else 1.0)
-    if (termFactor.isEmpty) return spark.emptyDataFrame.withColumn("url", lit(""))
-      .withColumn("score", lit(0.0)).limit(0)
-
-    // broadcast term dictionary (small by construction: lexicon-bounded)
-    val dict = built.dictionary
-      .filter($"term".isin(termFactor.keys.toSeq: _*))
-      .collect().map(d => d.term -> d).toMap
-    val live = termFactor.filter { case (t, _) =>
-      dict.get(t).exists { d =>
-        // idf==0 drop branch: log500(N/df) with Java int division
-        math.log((n / d.df).toDouble) / math.log(500.0) != 0.0
+    val termStats = terms.flatMap { t =>
+      dict.get(t).map { d =>
+        t -> (math.log((n / d.df).toDouble) / math.log(500.0), d.max_tf)
       }
-    }
-    if (live.isEmpty) return spark.emptyDataFrame.withColumn("url", lit(""))
-      .withColumn("score", lit(0.0)).limit(0)
-    val factorB = spark.sparkContext.broadcast(live.toMap)
-    val dictB = spark.sparkContext.broadcast(dict)
+    }.toMap
+    val statsB = spark.sparkContext.broadcast(termStats)
+    val skipB = spark.sparkContext.broadcast(skipIds)
+    val throwB = spark.sparkContext.broadcast(throwIds)
+    val skippable = (skipIds.size + throwIds.size).toLong
 
-    val qBlocks = built.blocks.filter($"term".isin(live.keys.toSeq: _*))
-
-    // --- block-metadata pruning: skip blocks entirely past the 200-cap ---
     val wOrd = Window.partitionBy($"term").orderBy($"part_id".asc, $"seq".asc)
-    val pruned = qBlocks
+    val pruned = built.blocks.filter($"term".isin(terms: _*))
       .withColumn("prior_postings",
         coalesce(sum($"n").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter($"prior_postings" < 200)
+      .filter($"prior_postings" < lit(200L + skippable))
 
-    // --- decode survivors; serving rank = prior + in-block index ---
-    val termIdx = spark.sparkContext.broadcast(
-      live.keys.zipWithIndex.toMap) // query-order index for deterministic summation
-    val postings = pruned.as[(String, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte], Long)]
-      .flatMap { case (term, pid, seq, nb, maxTf, docs, tfs, perm, prior) =>
-        IndexBuild.decodeBlock(graft.index.PostingBlock(term, pid, seq, nb, maxTf, docs, tfs, perm))
-          .iterator.zipWithIndex.collect {
-            case ((docId, tf), i) if prior + i < 200 => // per-term 200-cap
-              val d = dictB.value(term)
-              val idf = math.log((n / d.df).toDouble) / math.log(500.0)
-              val tfn = 0.4 + 0.6 * tf / d.max_tf
-              (docId, termIdx.value(term), tfn * idf * factorB.value(term))
+    pruned.select($"term", $"part_id", $"seq", $"n", $"max_tf",
+        $"docs_vb", $"tfs_vb", $"perm_vb")
+      .repartition($"term")
+      .sortWithinPartitions($"term", $"part_id", $"seq")
+      .as[(String, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Double)]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Double)]
+        var curTerm: String = null
+        var clean = 0
+        var aborted = false
+        def flush(): Unit = { if (!aborted) out ++= buf; buf.clear() }
+        for ((term, pid, seq, nb, maxTf, docs, tfs, perm) <- it) {
+          if (term != curTerm) { flush(); curTerm = term; clean = 0; aborted = false }
+          if (!aborted && clean < 200) {
+            val (idf, dMaxTf) = statsB.value(term)
+            val decoded = IndexBuild.decodeBlock(
+              graft.index.PostingBlock(term, pid, seq, nb, maxTf, docs, tfs, perm))
+            var i = 0
+            while (i < decoded.length && !aborted && clean < 200) {
+              val (docId, tf) = decoded(i)
+              if (throwB.value.contains(docId)) { aborted = true; buf.clear() }
+              else if (!skipB.value.contains(docId)) {
+                buf += ((term, docId, clean, (0.4 + 0.6 * tf / dMaxTf) * idf))
+                clean += 1
+              }
+              i += 1
+            }
           }
-      }.toDF("doc_id", "idx", "tfidf")
-
-    // per-doc score = FOLD of contributions in query-term order (sort_array
-    // + higher-order aggregate): bit-identical to the driver-side scorer's
-    // sequential summation, immune to partition-order reassociation
-    val scored = postings
-      .groupBy($"doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct($"idx", $"tfidf"))),
-        lit(0.0d), (acc, x) => acc + x.getField("tfidf")).as("score"))
-
-    // capped postings are tiny (≤200 per live term): materialize their doc
-    // ids and PUSH them into the docs scan as an In-filter (partition/
-    // row-group pruning on a doc_id-sorted docs table), then broadcast the
-    // scored side — the docs table is never fully scanned per query
-    val scoredRows = scored.collect()
-    if (scoredRows.isEmpty) return spark.emptyDataFrame.withColumn("url", lit(""))
-      .withColumn("score", lit(0.0)).limit(0)
-    val ids = scoredRows.map(_.getLong(0)).toIndexedSeq
-    val scoredDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(scoredRows.toIndexedSeq, 1), scored.schema)
-    built.docs.select($"doc_id", $"url")
-      .filter($"doc_id".isin(ids: _*))
-      .join(broadcast(scoredDf), Seq("doc_id"))
-      .select($"url", $"score")
-      .orderBy($"score".desc, $"url".asc)
-      .limit(200)
+        }
+        flush()
+        out.iterator
+      }.toDF("term", "doc_id", "rank", "base")
   }
 }

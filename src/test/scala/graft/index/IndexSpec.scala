@@ -174,6 +174,47 @@ class IndexSpec extends AnyFunSuite {
     val obs = s.referenceTopK("observation").map(_._1)
     assert(obs.contains("http://adv.example/a b/doc1"))
     assert(!obs.exists(_.contains("%20")))
+    // the DISTRIBUTED Dataset path applies the same filter BEFORE the
+    // 200-cap (round-3 gap closure): single-query and batch replay must
+    // both equal the driver-side searcher on the adversarial corpus
+    for (n <- Seq(pages.length, 300000)) {
+      val sr = Searcher.fromIndex(b, n)
+      for (q <- qs) {
+        val ds = graft.query.QueryOps.referenceTopK(spark, b, q, n)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toList
+        assert(ds == sr.referenceTopK(q), s"QueryOps adversarial '$q' at N=$n")
+      }
+      val byQid = graft.query.QueryOps.batchReferenceTopK(spark, b, qs, n)
+        .collect().groupBy(_.getInt(0))
+      for ((q, qi) <- qs.zipWithIndex) {
+        val got = byQid.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+          .map(r => (r.getString(2), r.getDouble(3))).toList
+        assert(got == sr.referenceTopK(q), s"batch adversarial '$q' at N=$n")
+      }
+    }
+  }
+
+  test("batch replay falls back off the broadcast hint above the row cap") {
+    val s = Searcher.fromIndex(built, numDocs)
+    // tiny thresholds force BOTH fallback branches (full docs scan + no
+    // broadcast hint on the scored side); results must stay bit-identical
+    val df = graft.query.QueryOps.batchReferenceTopK(spark, built, queries,
+      numDocs, isinThreshold = 4, broadcastRowCap = 10)
+    // no broadcast hint on the scored/docs join: the index lineage carries
+    // its own (build-time) hints, so compare RELATIVE to the default-
+    // threshold plan — the fallback must place exactly one fewer hint (AQE
+    // may still pick a broadcast join from RUNTIME sizes — that's the point)
+    def hintCount(d: org.apache.spark.sql.DataFrame): Int =
+      "(?i)resolvedhint".r.findAllIn(d.queryExecution.analyzed.toString).size
+    val dfDefault = graft.query.QueryOps.batchReferenceTopK(spark, built, queries, numDocs)
+    assert(hintCount(df) == hintCount(dfDefault) - 1,
+      s"fallback ${hintCount(df)} vs default ${hintCount(dfDefault)} hints")
+    val byQid = df.collect().groupBy(_.getInt(0))
+    for ((q, qi) <- queries.zipWithIndex) {
+      val got = byQid.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r.getDouble(3))).toList
+      assert(got == s.referenceTopK(q), s"fallback batch query '$q'")
+    }
   }
 
   test("bm25 block-max path agrees with exhaustive scoring") {
