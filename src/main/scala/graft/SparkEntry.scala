@@ -509,6 +509,25 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("url"), round(col("score"), 6).as("score"))
     }),
 
+    // ---- the NO-SPARK-JOB serving tier (reference Backend point-fetch
+    // shape, Backend.java:221): sidecar block/doc shards written by
+    // DirectIndex, served via mmap point reads with zero Spark jobs per
+    // query — the result must match the same SQL oracle as every other
+    // scorer tier ----
+    "q40_search_direct" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val dir = s"${auxDir}/_direct_$n"
+      if (dumpedTriples.add(dir)) // once per JVM, like the triples
+        graft.query.DirectIndex.write(builtFor(s, n), dir)
+      val hits = graft.query.DirectSearcher.open(dir, n)
+        .referenceTopK("galaxy engine search")
+      s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
+        (i + 1, url, math.rint(score * 1e6) / 1e6)
+      }).toDF("rank", "url", "score")
+    }),
+
     // ---- sessionization (training-data/event-pipeline op): gap-based
     // gaps-and-islands over the events table; the streaming twin
     // (flatMapGroupsWithState custom state) is equality-tested in
@@ -880,6 +899,7 @@ object SparkEntry {
     "q36_doc_detail" -> docDetailSql(500L),
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
+    "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
 
     "q38_pq_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,312 @@
+package graft.query
+
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.channels.FileChannel
+import java.nio.file.StandardOpenOption
+import org.apache.spark.TaskContext
+import graft.index.{BuiltIndex, DictEntry, PostingBlock}
+
+/** Sidecar serving artifacts for the NO-SPARK-JOB point-lookup tier
+  * ([[DirectSearcher]]) — the shape of the reference Backend's per-term
+  * `kvs.getRow` point fetch (reference backend/Backend.java:221) with no
+  * job scheduler anywhere in the query loop.
+  *
+  * Written DISTRIBUTED: each blocks/docs partition task streams its own
+  * shard file (`blocks-<pid>.bin` / `docs-<pid>.bin`); only per-block and
+  * per-shard INDEX records (a few dozen bytes each) return to the driver,
+  * which writes the small index files. At a 10^12-doc deployment each
+  * serving shard gets its own `terms.idx` (per-shard serving processes own
+  * their shard, exactly like the reference's KVS workers); here one global
+  * index file is written because one process serves everything.
+  *
+  * Layout under `dir/`:
+  *  - `meta.bin`    — numDocs, exact integer dl-sum, dlMin (the corpus
+  *                    scalars BM25 needs; same arithmetic as
+  *                    [[Searcher.fromIndex]] so scores are bit-identical);
+  *  - `dict.bin`    — term → (df, max_tf); lexicon-bounded, loaded whole;
+  *  - `terms.idx`   — term → ordered (shard, offset) block refs in serving
+  *                    order (part_id asc, seq asc);
+  *  - `blocks-<pid>.bin` — per block: n, max_tf, the three varbyte payload
+  *                    lengths, payloads (delta-coded doc ids, tfs, serving
+  *                    permutation) — read with ONE seek per block;
+  *  - `docs.idx`    — shard → (file, minId, count, offset-table position);
+  *  - `docs-<pid>.bin` — records `[dl][urlLen][urlBytes]` streamed first,
+  *                    then the per-doc offset table (doc ids are dense and
+  *                    range-sorted, so a shard's table is indexed by
+  *                    `id - minId`).
+  */
+object DirectIndex {
+
+  final case class BlockRef(shard: Int, offset: Long)
+
+  def write(built: BuiltIndex, dir: String): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    val dirAbs = d.getAbsolutePath
+    val spark = built.docs.sparkSession
+    import spark.implicits._
+
+    // ---- blocks shards: each task streams its partition ----
+    val blockRefs = built.blocks.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val f = new File(dirAbs, s"blocks-$pid.bin")
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+      var offset = 0L
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Long)]
+      try {
+        for (b <- it) {
+          acc += ((b.term, b.part_id, b.seq, pid, offset))
+          out.writeInt(b.n); out.writeInt(b.max_tf)
+          out.writeInt(b.docs_vb.length); out.writeInt(b.tfs_vb.length)
+          out.writeInt(b.perm_vb.length)
+          out.write(b.docs_vb); out.write(b.tfs_vb); out.write(b.perm_vb)
+          offset += 20L + b.docs_vb.length + b.tfs_vb.length + b.perm_vb.length
+        }
+      } finally out.close()
+      if (acc.isEmpty) f.delete()
+      acc.iterator
+    }.collect()
+
+    // terms.idx: per term, block refs in serving order
+    val byTerm = blockRefs.groupBy(_._1)
+    val idx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirAbs, "terms.idx"))))
+    try {
+      idx.writeInt(byTerm.size)
+      for ((term, refs) <- byTerm.toSeq.sortBy(_._1)) {
+        val tb = term.getBytes("UTF-8")
+        idx.writeInt(tb.length); idx.write(tb)
+        val ordered = refs.sortBy(r => (r._2, r._3)) // (part_id, seq)
+        idx.writeInt(ordered.length)
+        for ((_, _, _, shard, off) <- ordered) { idx.writeInt(shard); idx.writeLong(off) }
+      }
+    } finally idx.close()
+
+    // ---- docs shards: range-sorted by doc_id → contiguous id ranges ----
+    val docShards = built.docs.sort("doc_id").mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val f = new File(dirAbs, s"docs-$pid.bin")
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var minId = Long.MaxValue
+      var maxId = Long.MinValue
+      var pos = 0L
+      try {
+        for (dm <- it) {
+          if (dm.doc_id < minId) minId = dm.doc_id
+          if (dm.doc_id > maxId) maxId = dm.doc_id
+          offsets += pos
+          val ub = dm.url.getBytes("UTF-8")
+          out.writeLong(dm.dl); out.writeInt(ub.length); out.write(ub)
+          pos += 12L + ub.length
+        }
+        val tablePos = pos
+        offsets.foreach(out.writeLong)
+        if (offsets.isEmpty) Iterator.empty
+        else {
+          // dense global ids + range sort ⇒ a shard's range is contiguous
+          require(maxId - minId + 1 == offsets.length,
+            s"docs shard $pid ids not contiguous: [$minId,$maxId] for ${offsets.length} rows")
+          Iterator.single((pid, minId, offsets.length, tablePos))
+        }
+      } finally out.close()
+    }.collect().sortBy(_._2)
+    val didx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirAbs, "docs.idx"))))
+    try {
+      didx.writeInt(docShards.length)
+      for ((pid, minId, count, tablePos) <- docShards) {
+        didx.writeInt(pid); didx.writeLong(minId); didx.writeInt(count)
+        didx.writeLong(tablePos)
+      }
+    } finally didx.close()
+
+    // ---- dictionary + corpus scalars ----
+    val dict = built.dictionary.collect()
+    val dout = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirAbs, "dict.bin"))))
+    try {
+      dout.writeInt(dict.length)
+      for (e <- dict) {
+        val tb = e.term.getBytes("UTF-8")
+        dout.writeInt(tb.length); dout.write(tb)
+        dout.writeLong(e.df); dout.writeInt(e.max_tf)
+      }
+    } finally dout.close()
+    val r = built.docs.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum($"dl"),
+      org.apache.spark.sql.functions.min($"dl")).head()
+    val mout = new DataOutputStream(new FileOutputStream(new File(dirAbs, "meta.bin")))
+    try {
+      mout.writeLong(r.getLong(0))
+      mout.writeLong(if (r.isNullAt(1)) 0L else r.getLong(1))
+      mout.writeLong(if (r.isNullAt(2)) 0L else r.getLong(2))
+    } finally mout.close()
+  }
+
+  private[query] def readDict(dir: String): Map[String, DictEntry] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(new File(dir, "dict.bin"))))
+    try {
+      val n = in.readInt()
+      val b = Map.newBuilder[String, DictEntry]
+      var i = 0
+      while (i < n) {
+        val tb = new Array[Byte](in.readInt()); in.readFully(tb)
+        val term = new String(tb, "UTF-8")
+        b += term -> DictEntry(term, in.readLong(), in.readInt())
+        i += 1
+      }
+      b.result()
+    } finally in.close()
+  }
+
+  private[query] def readTermRefs(dir: String): Map[String, IndexedSeq[BlockRef]] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(new File(dir, "terms.idx"))))
+    try {
+      val n = in.readInt()
+      val b = Map.newBuilder[String, IndexedSeq[BlockRef]]
+      var i = 0
+      while (i < n) {
+        val tb = new Array[Byte](in.readInt()); in.readFully(tb)
+        val term = new String(tb, "UTF-8")
+        val cnt = in.readInt()
+        val refs = IndexedSeq.newBuilder[BlockRef]
+        var j = 0
+        while (j < cnt) { refs += BlockRef(in.readInt(), in.readLong()); j += 1 }
+        b += term -> refs.result()
+        i += 1
+      }
+      b.result()
+    } finally in.close()
+  }
+
+  private[query] def readDocShards(dir: String): IndexedSeq[(Int, Long, Int, Long)] = {
+    val in = new DataInputStream(new FileInputStream(new File(dir, "docs.idx")))
+    try {
+      val n = in.readInt()
+      IndexedSeq.fill(n)((in.readInt(), in.readLong(), in.readInt(), in.readLong()))
+    } finally in.close()
+  }
+
+  private[query] def readMeta(dir: String): (Long, Long, Long) = {
+    val in = new DataInputStream(new FileInputStream(new File(dir, "meta.bin")))
+    try (in.readLong(), in.readLong(), in.readLong())
+    finally in.close()
+  }
+}
+
+/** NO-SPARK-JOB point-lookup serving tier — [[LazySearcher]]'s fetch
+  * pattern at [[Searcher.fromIndex]]'s latency: per query it reads only the
+  * query terms' posting blocks (one seek each) and the touched docs'
+  * records from memory-mapped shard files. No SparkSession anywhere; the
+  * p95 is a property of the index layout + OS page cache, matching the
+  * reference Backend's point KVS fetch with no job scheduler in the loop
+  * (reference backend/Backend.java:221).
+  *
+  * Memory: the dictionary and per-term block OFFSETS (both lexicon-bounded)
+  * live in heap; block payloads and doc records are mmap'd — resident set
+  * is only the touched pages. `bytesRead` counts payload bytes actually
+  * fetched so the "bytes per query ≪ index size" property is testable.
+  *
+  * Thread safety: reads use absolute (positional) buffer gets — safe for
+  * concurrent queries over one open searcher.
+  */
+final class DirectSearcher private (dir: String, n: Int) {
+  import DirectIndex.BlockRef
+
+  private val dict = DirectIndex.readDict(dir)
+  private val termRefs = DirectIndex.readTermRefs(dir)
+  private val docShards = DirectIndex.readDocShards(dir) // sorted by minId
+  private val (numDocs, dlSum, dlMin) = DirectIndex.readMeta(dir)
+  private val avgdl = if (numDocs == 0) 1.0 else dlSum.toDouble / numDocs
+
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def mapShard(name: String): java.nio.MappedByteBuffer = {
+    val p = new File(dir, name).toPath
+    val ch = FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      // one MappedByteBuffer caps at 2 GiB; a production shard writer splits
+      // files below that (shard count is free), so a single mapping suffices
+      require(size <= Int.MaxValue, s"shard $name exceeds 2 GiB — split shards")
+      ch.map(FileChannel.MapMode.READ_ONLY, 0, size)
+    } finally ch.close()
+  }
+  private val blockBufs = new java.util.concurrent.ConcurrentHashMap[Int, java.nio.MappedByteBuffer]()
+  private val docBufs = new java.util.concurrent.ConcurrentHashMap[Int, java.nio.MappedByteBuffer]()
+  private def blockBuf(shard: Int) =
+    blockBufs.computeIfAbsent(shard, s => mapShard(s"blocks-$s.bin"))
+  private def docBuf(shard: Int) =
+    docBufs.computeIfAbsent(shard, s => mapShard(s"docs-$s.bin"))
+
+  private def fetchBlock(term: String, ref: BlockRef): PostingBlock = {
+    val buf = blockBuf(ref.shard)
+    var p = ref.offset.toInt
+    val nPost = buf.getInt(p); val maxTf = buf.getInt(p + 4)
+    val l1 = buf.getInt(p + 8); val l2 = buf.getInt(p + 12); val l3 = buf.getInt(p + 16)
+    p += 20
+    val docs = new Array[Byte](l1); val tfs = new Array[Byte](l2); val perm = new Array[Byte](l3)
+    buf.get(p, docs); buf.get(p + l1, tfs); buf.get(p + l1 + l2, perm)
+    bytesRead.addAndGet(20L + l1 + l2 + l3)
+    PostingBlock(term, ref.shard, 0, nPost, maxTf, docs, tfs, perm)
+  }
+
+  private def blocksOf(term: String): IndexedSeq[PostingBlock] =
+    termRefs.getOrElse(term, IndexedSeq.empty).map(fetchBlock(term, _))
+
+  /** (shard buffer, record position) for a doc id — binary search over the
+    * shard ranges, then the shard's offset table indexed by id − minId. */
+  private def recordPos(id: Long): (java.nio.MappedByteBuffer, Int) = {
+    var lo = 0; var hi = docShards.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (docShards(mid)._2 <= id) lo = mid else hi = mid - 1
+    }
+    val (pid, minId, count, tablePos) = docShards(lo)
+    require(id >= minId && id < minId + count, s"doc_id $id out of range")
+    val buf = docBuf(pid)
+    val off = buf.getLong((tablePos + 8L * (id - minId)).toInt)
+    (buf, off.toInt)
+  }
+
+  private def dlOf(id: Long): Long = {
+    val (buf, p) = recordPos(id)
+    bytesRead.addAndGet(8L)
+    buf.getLong(p)
+  }
+
+  private def urlOf(id: Long): String = {
+    val (buf, p) = recordPos(id)
+    val len = buf.getInt(p + 8)
+    val ub = new Array[Byte](len)
+    buf.get(p + 12, ub)
+    bytesRead.addAndGet(12L + len)
+    new String(ub, "UTF-8")
+  }
+
+  private val searcher =
+    new Searcher(n, dict, blocksOf, urlOf, dlOf, avgdl, dlMin, numDocs)
+
+  def referenceTopK(query: String,
+                    pagerank: Option[String => Double] = None): List[(String, Double)] =
+    searcher.referenceTopK(query, pagerank)
+
+  def bm25TopK(query: String, k: Int = 10, k1: Double = 1.2,
+               b: Double = 0.75): List[(String, Double)] =
+    searcher.bm25TopK(query, k, k1, b)
+
+  /** Total sidecar bytes on disk (for the bytes-read ≪ index-size check). */
+  def indexBytes: Long =
+    Option(new File(dir).listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+}
+
+object DirectSearcher {
+  /** Open the sidecar artifacts written by [[DirectIndex.write]]. `n` is
+    * the reference scorer's corpus-size constant (README step 7 semantics,
+    * same as every other tier). Requires NO SparkSession. */
+  def open(dir: String, n: Int): DirectSearcher = new DirectSearcher(dir, n)
+}

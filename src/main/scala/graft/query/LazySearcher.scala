@@ -92,7 +92,7 @@ final class LazySearcher(spark: SparkSession, dir: String, val n: Int,
       .flatMap(b => IndexBuild.decodeBlockDocOrder(b)._1.iterator)
       .toArray.distinct
     val docs = fetchDocs(ids)
-    new Searcher(n, dict, blocks, id => docs(id)._1, id => docs(id)._2,
+    new Searcher(n, dict, t => blocks.getOrElse(t, IndexedSeq.empty), id => docs(id)._1, id => docs(id)._2,
       avgdl, dlMin, numDocs)
   }
 

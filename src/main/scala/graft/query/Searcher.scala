@@ -30,7 +30,7 @@ import graft.text.{PorterStemmer, Text}
   */
 final class Searcher(val n: Int,
                      dict: Map[String, DictEntry],
-                     blocksByTerm: Map[String, IndexedSeq[PostingBlock]],
+                     blocksOf: String => IndexedSeq[PostingBlock],
                      urlOf: Long => String,
                      dlOf: Long => Long,
                      avgdl: Double,
@@ -98,7 +98,7 @@ final class Searcher(val n: Int,
         if (idf == 0.0) return IndexedSeq.empty
         val out = mutable.ArrayBuffer.empty[(String, Double)]
         try {
-          val blocks = blocksByTerm.getOrElse(term, IndexedSeq.empty)
+          val blocks = blocksOf(term)
           var bi = 0
           while (bi < blocks.length && out.length < 200) {
             val decoded = IndexBuild.decodeBlock(blocks(bi))
@@ -152,7 +152,7 @@ final class Searcher(val n: Int,
     val states = terms.map { t =>
       val d = dict(t)
       val idf = math.log((numDocs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-      TermState(idf, blocksByTerm.getOrElse(t, IndexedSeq.empty), 0)
+      TermState(idf, blocksOf(t), 0)
     }.toArray
 
     // primitive open-addressing accumulator (no boxing in the hot loop);
@@ -382,7 +382,7 @@ object Searcher {
     // integer dl sum (exact, order-free) → double once: reproducible in SQL
     val avgdl = if (docs.isEmpty) 1.0 else dlArr.sum.toDouble / docs.length
     val dlMin = if (docs.isEmpty) 0L else dlArr.min
-    new Searcher(n, dict, blocks, id => urlArr(id.toInt), id => dlArr(id.toInt),
+    new Searcher(n, dict, t => blocks.getOrElse(t, IndexedSeq.empty), id => urlArr(id.toInt), id => dlArr(id.toInt),
       avgdl, dlMin, docs.length.toLong)
   }
 

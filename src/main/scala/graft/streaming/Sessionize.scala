@@ -10,15 +10,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionOut(user_id: Long, session_start: Timestamp,
                             session_end: Timestamp, n_events: Long, sum_value: Double)
 
-/** Open-session state carried across streaming micro-batches. */
-final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+/** Open-session state carried across streaming micro-batches. Timestamps
+  * are ORIGINAL epoch millis (batch emits min/max of the raw event
+  * timestamps, so the streaming twin must not truncate them); the gap rule
+  * itself compares floor-seconds, exactly like the batch twin's
+  * `cast(ts as long)`. */
+final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
 /** Gap-based sessionization of the events stream — the canonical custom-
   * state streaming operator (builder-prompt §2.9: KeyValueGroupedDataset +
   * flatMapGroupsWithState), with a batch twin whose window-function plan is
   * ANSI-SQL-expressible (and DuckDB-oracle-checked as q37).
   *
-  * A session = consecutive events of one user with gaps ≤ `gapSec`.
+  * A session = consecutive events of one user with gaps ≤ `gapSec`
+  * (gaps measured on floor-second timestamps, both twins identically).
   *
   * Scale shape: batch is one hash shuffle on user_id + an in-partition
   * window walk (no driver collection); streaming keeps ONE small state row
@@ -50,49 +55,92 @@ object Sessionize {
       .drop("sess_no")
   }
 
+  private def emit(userId: Long, st: SessionState): SessionOut =
+    SessionOut(userId, new Timestamp(st.startMs), new Timestamp(st.endMs), st.n,
+      // same HALF_UP-on-exact-decimal rounding as Spark's round()
+      BigDecimal(st.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   /** Streaming sessionization: custom per-user state via
-    * flatMapGroupsWithState. Emits a session when a gap closes it; the
-    * open session rides in the state store across micro-batches (resuming
-    * from the checkpoint on restart). Events inside a micro-batch arrive
-    * unordered → sorted per group before folding.
-    *
-    * Uses NoTimeout: a session closes when a later event proves the gap.
-    * (An EventTimeTimeout variant would also flush idle sessions once the
-    * watermark passes start+gap; the test closes trailing sessions with a
-    * sentinel event instead, which keeps the output deterministic for a
-    * bounded replay.) */
+    * flatMapGroupsWithState, NoTimeout variant — a session closes only when
+    * a LATER event of the same user proves the gap (deterministic for
+    * bounded replays closed with sentinel events; production uses
+    * [[streamingWithTimeout]], which also flushes idle sessions). */
   def streaming(events: DataFrame, gapSec: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    def fold(userId: Long, it: Iterator[(Long, Long, Double)],
-             state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._1)) // (event_id, sec, value)
-      var cur = state.getOption.orNull
-      val out = IndexedSeq.newBuilder[SessionOut]
-      for ((_, sec, v) <- sorted) {
-        if (cur == null) cur = SessionState(sec, sec, 0L, 0.0)
-        else if (sec - cur.end > gapSec) {
-          out += SessionOut(userId, new Timestamp(cur.start * 1000L),
-            new Timestamp(cur.end * 1000L), cur.n,
-            // same HALF_UP-on-exact-decimal rounding as Spark's round()
-            BigDecimal(cur.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          cur = SessionState(sec, sec, 0L, 0.0)
-        }
-        cur = cur.copy(end = sec, n = cur.n + 1, sum = cur.sum + v)
-      }
-      if (cur != null) state.update(cur) else state.remove()
-      out.result().iterator
-    }
-
     events
-      .select(col("event_id"), col("ts").cast("timestamp").cast("long").as("sec"),
+      .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
         col("user_id"), col("value"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[(Long, Long, Long, Double)], st: GroupState[SessionState]) =>
-          fold(uid, it.map(e => (e._1, e._2, e._4)), st)
+          foldEvents(uid, it.map(e => (e._1, e._2, e._4)), st, gapSec)
       }
+  }
+
+  /** PRODUCTION streaming sessionization: EventTimeTimeout + watermark, so
+    * an idle user's trailing session flushes once the watermark passes
+    * `session_end + gap` — no sentinel event needed (the round-2 gap: with
+    * NoTimeout, idle users' last sessions were never emitted). Closed-
+    * session output is identical to [[streaming]]/[[batch]]; the timeout
+    * only ADDS the flush of open sessions. `events` must carry an event-
+    * time column `ts`; `delay` is the out-of-orderness bound. */
+  def streamingWithTimeout(events: DataFrame, gapSec: Long,
+                           delay: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .withWatermark("event_time", delay)
+      // the WATERMARKED column itself must flow into the grouped Dataset
+      // (Spark ties event-time timeout to a watermark attribute in the
+      // child's output); millis are taken from it inside the fold
+      .select(col("event_id"), col("event_time"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         st: GroupState[SessionState]) =>
+          if (st.hasTimedOut) {
+            // watermark passed end+gap with no newer event: flush the idle
+            // session — exactly what a later event's gap would have done
+            val out = st.getOption.map(s => emit(uid, s)).iterator
+            st.remove()
+            out
+          } else {
+            val out = foldEvents(uid,
+              it.map(e => (e._1, e._2.getTime, e._4)), st, gapSec)
+            st.getOption.foreach { s =>
+              // flush deadline: first instant whose floor-second gap from
+              // session_end EXCEEDS gapSec (the batch rule's complement);
+              // must stay above the current watermark or Spark rejects it
+              val deadline = (Math.floorDiv(s.endMs, 1000L) + gapSec + 1L) * 1000L
+              st.setTimeoutTimestamp(math.max(deadline, st.getCurrentWatermarkMs() + 1L))
+            }
+            out
+          }
+      }
+  }
+
+  /** Shared per-group fold (events as (event_id, epochMs, value)). */
+  private def foldEvents(userId: Long, it: Iterator[(Long, Long, Double)],
+                         state: GroupState[SessionState],
+                         gapSec: Long): Iterator[SessionOut] = {
+    val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._1))
+    var cur = state.getOption.orNull
+    val out = IndexedSeq.newBuilder[SessionOut]
+    for ((_, ms, v) <- sorted) {
+      val sec = Math.floorDiv(ms, 1000L)
+      if (cur != null && sec - Math.floorDiv(cur.endMs, 1000L) > gapSec) {
+        out += emit(userId, cur)
+        cur = null
+      }
+      cur =
+        if (cur == null) SessionState(ms, ms, 1L, v)
+        else cur.copy(endMs = ms, n = cur.n + 1, sum = cur.sum + v)
+    }
+    if (cur != null) state.update(cur) else state.remove()
+    out.result().iterator
   }
 }

@@ -1,0 +1,98 @@
+package graft.query
+
+import java.nio.file.Files
+import scala.io.Source
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.index.IndexBuild
+
+/** The no-Spark-job serving tier: [[DirectIndex]] sidecar artifacts +
+  * [[DirectSearcher]] mmap point reads must (a) return results identical to
+  * the eager searcher on the reference query set — including the
+  * adversarial-url hygiene corpus, (b) schedule ZERO Spark jobs per query,
+  * and (c) read per query only a tiny fraction of the index bytes. */
+class DirectSearcherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("direct-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def queries: Seq[String] =
+    Source.fromInputStream(getClass.getResourceAsStream("/queries.txt"), "UTF-8")
+      .getLines().toVector
+
+  lazy val pages = {
+    import spark.implicits._
+    spark.createDataset(Corpus.generateLocal(250) ++ Corpus.adversarialPages)
+  }
+  lazy val numDocs = 257
+  lazy val built = IndexBuild.build(spark, pages, Corpus.lexicon, parts = 5, blockSize = 64)
+  lazy val dir = {
+    val d = Files.createTempDirectory("graft-direct").toFile.getAbsolutePath
+    DirectIndex.write(built, d)
+    d
+  }
+
+  test("direct tier is result-identical to the eager searcher, with zero Spark jobs") {
+    val eager = Searcher.fromIndex(built, numDocs)
+    val eagerBig = Searcher.fromIndex(built, 300000)
+    val direct = DirectSearcher.open(dir, numDocs)
+    val directBig = DirectSearcher.open(dir, 300000)
+
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val qs = queries ++ Seq("telescope", "observation comet", "nebula gravity",
+        "asteroid", "expedition", "", "zzzabsent")
+      for (q <- qs) {
+        assert(direct.referenceTopK(q) == eager.referenceTopK(q), s"ref '$q'")
+        assert(directBig.referenceTopK(q) == eagerBig.referenceTopK(q), s"refBig '$q'")
+        assert(direct.bm25TopK(q, 10) == eager.bm25TopK(q, 10), s"bm25 '$q'")
+      }
+      // listener events are posted async — give the bus a beat to drain
+      Thread.sleep(300)
+      assert(jobs == 0, s"direct tier scheduled $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bytes read per query are a small fraction of the index") {
+    // per-query reads are CAPPED (≤200 postings/term + their doc records)
+    // while the index grows with the corpus — so the fraction only shows at
+    // a corpus big enough that the cap binds (the 257-doc fixture is all cap)
+    val big = IndexBuild.build(spark, Corpus.generate(spark, 2500),
+      Corpus.lexicon, parts = 5, blockSize = 256)
+    val bigDir = Files.createTempDirectory("graft-direct-big").toFile.getAbsolutePath
+    DirectIndex.write(big, bigDir)
+    val direct = DirectSearcher.open(bigDir, 2500)
+    val total = direct.indexBytes
+    assert(total > 0)
+    val before = direct.bytesRead.get()
+    direct.referenceTopK("galaxy engine search")
+    val perQuery = direct.bytesRead.get() - before
+    assert(perQuery > 0, "expected some bytes read")
+    assert(perQuery < total / 10,
+      s"query read $perQuery of $total index bytes — not a point lookup")
+  }
+
+  test("warm point lookups are single-digit-class latency (loose CI bound)") {
+    val direct = DirectSearcher.open(dir, numDocs)
+    for (q <- queries) direct.referenceTopK(q) // warm page cache + JIT
+    val lat = queries.map { q =>
+      val t0 = System.nanoTime()
+      direct.referenceTopK(q)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val p95 = lat((lat.length * 0.95).toInt.min(lat.length - 1))
+    // generous bound for noisy CI hosts; the bench reports the real p95
+    assert(p95 < 50.0, s"direct p95 ${p95}ms")
+  }
+}

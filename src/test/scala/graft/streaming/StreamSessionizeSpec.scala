@@ -54,9 +54,11 @@ class StreamSessionizeSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(120000)
 
+    // full-millisecond precision: the streaming state carries the ORIGINAL
+    // event timestamps (round-2 advice fix), so no truncation masking here
     def key(userId: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
             n: Long, sum: Double) =
-      (userId, start.getTime / 1000, end.getTime / 1000, n, sum)
+      (userId, start.getTime, end.getTime, n, sum)
 
     val streamed = spark.sql("SELECT * FROM sessions").collect()
       .map(r => key(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
@@ -74,5 +76,38 @@ class StreamSessionizeSpec extends AnyFunSuite {
     assert(streamed == batch)
     // multi-session users exist (the fixture isn't one-session-per-user)
     assert(streamed.groupBy(_._1).exists(_._2.size > 1))
+  }
+
+  test("EventTimeTimeout flushes idle trailing sessions without a sentinel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 1800L
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.streamingWithTimeout(events, gap)
+    val q = out.writeStream.format("memory").queryName("sessions_to")
+      .outputMode("append").start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      // user 1: two events 100s apart, with sub-second parts that the
+      // output must preserve exactly
+      mem.addData((1L, t(1000250L), 1L, 2.5), (2L, t(1100750L), 1L, 1.5))
+      q.processAllAvailable()
+      // no session closed yet (user 1 idle, watermark at its own events)
+      assert(spark.sql("SELECT * FROM sessions_to").count() == 0)
+      // another user far in the future pushes the watermark past
+      // user 1's end + gap → the idle session must flush via timeout
+      mem.addData((3L, t(100000000L), 99L, 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the batch AFTER the watermark advance
+      val rows = spark.sql("SELECT * FROM sessions_to").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set((1L, 1000250L, 1100750L, 2L, 4.0)),
+        s"expected user 1's exact-millis session, got $rows")
+      // user 99's open session stays in state (watermark hasn't passed it)
+      assert(!rows.exists(_._1 == 99L))
+    } finally q.stop()
   }
 }
