@@ -382,8 +382,11 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
     }),
-    // IVF probe + top-k; the routing table and probe set are dumped as
-    // oracle inputs, the SQL recomputes the probed top-k independently
+    // IVF probe + top-k over the ON-DISK centroid-partitioned routing
+    // table: `ivfWrite` partitions by centroid, the probe's isin is a
+    // PARTITION filter (non-probed directories are never read — the
+    // physical path the 100 TB story needs, now the oracle-checked one).
+    // The oracle reads the same hive-partitioned table + the probe set.
     "q26_ann_ivf" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
@@ -392,9 +395,10 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
       val assigned = graft.ml.Ann.ivfAssign(emb.filter(col("vec_id") > 0), "vec_id", "embedding", cents)
       val probes = graft.ml.Ann.probeSet(cents, q, nProbe = 3)
-      dumpAux(assigned.select(col("vec_id"), col("centroid")), "q26_assigned")
+      graft.ml.Ann.ivfWrite(assigned, s"${auxDir}/q26_ivf")
       dumpAux(probes.toDF("centroid"), "q26_probe")
-      assigned.filter(col("centroid").isin(probes: _*))
+      s.read.parquet(s"${auxDir}/q26_ivf")
+        .filter(col("centroid").isin(probes: _*))
         .select(col("vec_id"),
           round(graft.ml.Dedup.cosineCol(col("vec"), typedLit(q.toIndexedSeq)), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -830,7 +834,11 @@ object SparkEntry {
              ('en', ['the','and','of','to','in','is','was','for','that','with','it','on','as']),
              ('de', ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','von']),
              ('fr', ['le','la','les','et','est','une','dans','pour','que','qui','des','du']),
-             ('es', ['el','la','los','las','es','una','para','que','con','por','del','en'])) AS l(lang, sw)),
+             ('es', ['el','la','los','las','es','una','para','que','con','por','del','en']),
+             ('it', ['il','lo','di','che','non','un','una','per','sono','come','anche','più']),
+             ('pt', ['o','os','as','um','uma','não','com','do','da','em','são','mais']),
+             ('nl', ['de','het','een','van','dat','op','te','zijn','voor','niet','maar','ook']),
+             ('sv', ['och','att','det','som','på','är','av','den','till','inte','har','om'])) AS l(lang, sw)),
          best AS (
            SELECT doc_id, source, lang, score,
                   row_number() OVER (PARTITION BY doc_id
@@ -852,9 +860,10 @@ object SparkEntry {
     "q26_ann_ivf" ->
       s"""SELECT a.vec_id,
           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
-          FROM read_parquet('${auxDir}/q26_assigned/*.parquet') a
+          FROM read_parquet('${auxDir}/q26_ivf/*/*.parquet', hive_partitioning = true) a
           JOIN embeddings e ON e.vec_id = a.vec_id
-          JOIN read_parquet('${auxDir}/q26_probe/*.parquet') p ON a.centroid = p.centroid
+          JOIN read_parquet('${auxDir}/q26_probe/*.parquet') p
+            ON a.centroid::INTEGER = p.centroid
           CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
                    a.vec_id ASC

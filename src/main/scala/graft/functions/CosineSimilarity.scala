@@ -18,11 +18,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * list_cosine_similarity on the same doubles.
   *
   * Semantics: per-element over the common prefix (inputs are fixed-dim
-  * embedding columns, so lengths always match); null array → null; zero
-  * norm → NaN (0/0), matching the composed-column behavior.
+  * embedding columns, so lengths always match); null array → null; a NULL
+  * ELEMENT → null (the composed column's aggregate-over-zip_with also
+  * nulls out — the element checks are only emitted when the input types
+  * say `containsNull`, so provably non-null arrays keep the branch-free
+  * hot loop); zero norm → NaN (0/0), matching the composed-column
+  * behavior.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
+    case _ => true
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
 
   // strict array<double> inputs (no implicit cast injection — callers cast,
   // as every call site already does for float embeddings); null in → null
@@ -50,10 +62,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var n1 = 0.0; var n2 = 0.0
     var i = 0
-    while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; n1 += xi * xi; n2 += yi * yi
-      i += 1
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; n1 += xi * xi; n2 += yi * yi
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; n1 += xi * xi; n2 += yi * yi
+        i += 1
+      }
     }
     dot / (math.sqrt(n1) * math.sqrt(n2))
   }
@@ -67,15 +88,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n2 = ctx.freshName("n2")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // element null checks only when the types allow null elements (then
+      // `nullable` is true and ev.isNull is a real variable); otherwise the
+      // loop stays branch-free for codegen
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        s"${ev.value} = $dot / (java.lang.Math.sqrt($n1) * java.lang.Math.sqrt($n2));"
+      val guardedAssign =
+        if (elementsNullable) s"if (!${ev.isNull}) { $assign }" else assign
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $n1 = 0.0; double $n2 = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $n1 += $xi * $xi; $n2 += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($n1) * java.lang.Math.sqrt($n2));
+         |$guardedAssign
        """.stripMargin
     })
 

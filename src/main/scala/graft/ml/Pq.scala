@@ -44,7 +44,10 @@ object Pq {
     val dsub = d / m
     val codebooks = Array.tabulate(m) { mi =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
-      var cents = subs.distinct.take(k)
+      // dedup by VALUE (Array equality is reference equality, so a plain
+      // .distinct would be a no-op): degenerate corpora with many identical
+      // sub-vectors must not seed k duplicate centroids
+      var cents = subs.distinctBy(_.toIndexedSeq).take(k)
       // pad degenerate training sets by reusing the first centroid
       while (cents.length < k) cents = cents :+ cents.head.clone()
       for (_ <- 1 to iters) {

@@ -47,11 +47,17 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- lang id
+  /** Stopword families for 8 languages (+ 'und' fallback). MIRRORED
+    * verbatim in the q28 oracle SQL — any edit here must edit both. */
   private val stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "was", "for", "that", "with", "it", "on", "as"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "von"),
     "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "qui", "des", "du"),
-    "es" -> Set("el", "la", "los", "las", "es", "una", "para", "que", "con", "por", "del", "en"))
+    "es" -> Set("el", "la", "los", "las", "es", "una", "para", "que", "con", "por", "del", "en"),
+    "it" -> Set("il", "lo", "di", "che", "non", "un", "una", "per", "sono", "come", "anche", "più"),
+    "pt" -> Set("o", "os", "as", "um", "uma", "não", "com", "do", "da", "em", "são", "mais"),
+    "nl" -> Set("de", "het", "een", "van", "dat", "op", "te", "zijn", "voor", "niet", "maar", "ook"),
+    "sv" -> Set("och", "att", "det", "som", "på", "är", "av", "den", "till", "inte", "har", "om"))
 
   /** N-gram/stopword-heuristic language ID; "und" (undetermined) when no
     * language scores. Pure function → deterministic narrow map. */

@@ -68,6 +68,20 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(got(2).getDouble(0).isNaN)
   }
 
+  test("null ELEMENT yields null, like the composed column (eval + codegen)") {
+    val df = Seq(
+      (0L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (1L, Seq[java.lang.Double](1.0, 0.0), Seq[java.lang.Double](1.0, 0.0))
+    ).toDF("id", "a", "b")
+    for (d <- Seq(df, df.repartition(2))) { // LocalTableScan eval + codegen
+      val got = d.orderBy("id").select(
+        GraftExtensions.cosineSim(col("a"), col("b")).as("native"),
+        composed(col("a"), col("b")).as("old")).collect()
+      assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+      assert(got(1).getDouble(0) == 1.0 && got(1).getDouble(1) == 1.0)
+    }
+  }
+
   test("registered as a SQL function via the session extension") {
     GraftExtensions.register(spark)
     vecs.createOrReplaceTempView("cos_vecs")

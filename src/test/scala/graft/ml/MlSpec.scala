@@ -202,6 +202,10 @@ class MlSpec extends AnyFunSuite {
     assert(TextAnalysis.langIdOf("der hund und die katze ist nicht da") == "de")
     assert(TextAnalysis.langIdOf("le chat est dans la maison pour les amis") == "fr")
     assert(TextAnalysis.langIdOf("el perro es una mascota para la familia") == "es")
+    assert(TextAnalysis.langIdOf("il gatto non è un cane ma è anche più bello") == "it")
+    assert(TextAnalysis.langIdOf("o cachorro não está em casa com os amigos") == "pt")
+    assert(TextAnalysis.langIdOf("het huis van de hond is niet voor een kat") == "nl")
+    assert(TextAnalysis.langIdOf("hunden är inte på huset och det har den inte") == "sv")
     assert(TextAnalysis.langIdOf("zzz qqq xxx") == "und")
     assert(TextAnalysis.langIdOf("") == "und")
   }

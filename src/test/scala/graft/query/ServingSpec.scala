@@ -64,4 +64,13 @@ class ServingSpec extends AnyFunSuite {
     assert(got == Serving.pageInfoJson("http://nowhere.example/missing", None))
     assert(got.contains("\"abstract\":\"No Information Available\""))
   }
+
+  test("pages table is resolved once across repeated lookups") {
+    Serving.detailJson(spark, pagesDir, Corpus.urlOf(1, numDocs, 16)) // ensure cached
+    val before = Serving.pagesLoads.get()
+    for (i <- 2L to 20L)
+      Serving.detailJson(spark, pagesDir, Corpus.urlOf(i, numDocs, 16))
+    assert(Serving.pagesLoads.get() == before,
+      "every lookup after the first must reuse the resolved pages table")
+  }
 }
