@@ -164,16 +164,30 @@ object IndexBuild {
     // the production layout bucket-joins on url instead)
     val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
     val docmapSide = if (numDocs <= 10_000_000L) broadcast(docmap) else docmap
+    // (tid asc, tf desc) PACKED into one 8-byte key: tid in the high 32
+    // bits, bit-flipped tf in the low 32 (tf ≥ 0, so MaxValue−tf preserves
+    // the desc order). One long first sort column means Spark's radix-
+    // capable prefix sort covers the whole (tid, tf) order, shuffle rows
+    // shrink to (long, long), and the range partitioner samples a primitive
+    // key — less memory traffic in the build's heaviest stage, which is
+    // what the high-parallelism levels are starved of on one box.
     val postings = seg.join(docmapSide, Seq("url"))
       .join(broadcast(termDim), Seq("term")) // codegen'd: no typed lambda
-      .select($"tid", $"doc_id", $"tf")
+      .select(((($"tid".cast("long")) * 4294967296L) +
+          (lit(Int.MaxValue.toLong) - $"tf")).as("key"),
+        $"doc_id", $"tf")
       .persist(StorageLevel.DISK_ONLY) // read by range-sampling, the blocks
       // shuffle, and the dl aggregation — persist beats recomputing the join
     val blocks = postings
-      .repartitionByRange(parts, $"tid".asc, $"tf".desc, $"doc_id".asc)
-      .sortWithinPartitions($"tid".asc, $"tf".desc, $"doc_id".asc)
-      .as[(Int, Long, Int)]
-      .mapPartitions(it => encodeBlocks(it, blockSize, termOf.value))
+      .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
+      .sortWithinPartitions($"key".asc, $"doc_id".asc)
+      .select($"key", $"doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        encodeBlocks(it.map { case (key, docId) =>
+          ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
+        }, blockSize, termOf.value)
+      }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dictionary = blocks.groupBy($"term")
       .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]

@@ -273,10 +273,36 @@ final class DirectSearcher private (dir: String, n: Int) {
     (buf, off.toInt)
   }
 
+  /** BM25 reads dl for EVERY accumulated posting — per-posting mmap walks
+    * (offset + record reads) measured ~2-3× the in-heap scorer's p95, so a
+    * shard's dl column is decoded ONCE into a primitive array on first
+    * touch. Memory: 8 B per doc of TOUCHED shards only — matching per-shard
+    * serving at scale, where a node holds its own shard's doc lengths (the
+    * classic further step, 1-byte quantized dl, isn't needed here). */
+  private val dlCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def dlShard(shardIdx: Int): Array[Long] =
+    dlCache.computeIfAbsent(shardIdx, si => {
+      val (pid, _, count, tablePos) = docShards(si)
+      val buf = docBuf(pid)
+      val arr = new Array[Long](count)
+      var i = 0
+      while (i < count) {
+        arr(i) = buf.getLong(buf.getLong((tablePos + 8L * i).toInt).toInt)
+        i += 1
+      }
+      bytesRead.addAndGet(16L * count)
+      arr
+    })
+
   private def dlOf(id: Long): Long = {
-    val (buf, p) = recordPos(id)
-    bytesRead.addAndGet(8L)
-    buf.getLong(p)
+    var lo = 0; var hi = docShards.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (docShards(mid)._2 <= id) lo = mid else hi = mid - 1
+    }
+    val (_, minId, count, _) = docShards(lo)
+    require(id >= minId && id < minId + count, s"doc_id $id out of range")
+    dlShard(lo)((id - minId).toInt)
   }
 
   private def urlOf(id: Long): String = {
