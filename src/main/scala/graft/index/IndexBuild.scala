@@ -235,9 +235,12 @@ object IndexBuild {
   /** Build a full index from id-free posting triples (url, term, tf) — the
     * shared "global merge" tail used by [[SegmentedIndex.merge]] and the
     * streaming ingest: dense url-ordered doc ids via partition offsets, then
-    * the standard impact-ordered block/dictionary/docs pipeline. */
+    * the standard impact-ordered block/dictionary/docs pipeline.
+    * `openVocabulary = true` drops the term-dictionary encoding (no distinct-
+    * term collect anywhere) for corpora whose vocabulary is unbounded. */
   def fromUrlTermTf(spark: SparkSession, seg: org.apache.spark.sql.DataFrame,
-                    parts: Int, blockSize: Int = DefaultBlockSize): BuiltIndex = {
+                    parts: Int, blockSize: Int = DefaultBlockSize,
+                    openVocabulary: Boolean = false): BuiltIndex = {
     import spark.implicits._
     val urls = seg.select($"url").distinct()
       .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
@@ -256,51 +259,67 @@ object IndexBuild {
       it.map { r => val id = offB.value(pid) + local; local += 1; (id, r.getString(0)) }
     }.toDF("doc_id", "url")
 
-    // --- term-dictionary encoding for the heavy shuffle ---
-    // The blocks range shuffle + sort is the build's dominant cost. Terms
-    // are dictionary-encoded to dense ints FIRST (sorted order ⇒ id order ≡
-    // term order, so range partitioning, sort order and block order are all
-    // unchanged): shuffle rows shrink from (string, long, int) to
-    // (int, long, int) and the sort compares 4-byte ints instead of UTF8
-    // strings. The term set is lexicon-bounded (~10⁴) ⇒ collect+broadcast
-    // is safe at any corpus scale; an open-vocabulary build would hash
-    // terms to 64-bit ids instead.
-    val termArr = seg.select($"term").distinct().orderBy($"term")
-      .collect().map(_.getString(0))
-    val termOf = spark.sparkContext.broadcast(termArr)
-    val termDim = spark.createDataFrame(
-      termArr.toIndexedSeq.zipWithIndex).toDF("term", "tid")
-
     // docmap join: broadcast while the map fits executor memory (sub-10M
     // docs ≈ <1 GB); beyond that fall back to a shuffle join (at 10^12 docs
     // the production layout bucket-joins on url instead)
     val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
     val docmapSide = if (numDocs <= 10_000_000L) broadcast(docmap) else docmap
-    // (tid asc, tf desc) PACKED into one 8-byte key: tid in the high 32
-    // bits, bit-flipped tf in the low 32 (tf ≥ 0, so MaxValue−tf preserves
-    // the desc order). One long first sort column means Spark's radix-
-    // capable prefix sort covers the whole (tid, tf) order, shuffle rows
-    // shrink to (long, long), and the range partitioner samples a primitive
-    // key — less memory traffic in the build's heaviest stage, which is
-    // what the high-parallelism levels are starved of on one box.
+
     val postings = seg.join(docmapSide, Seq("url"))
-      .join(broadcast(termDim), Seq("term")) // codegen'd: no typed lambda
-      .select(((($"tid".cast("long")) * 4294967296L) +
-          (lit(Int.MaxValue.toLong) - $"tf")).as("key"),
-        $"doc_id", $"tf")
+      .select($"term", $"doc_id", $"tf")
       .persist(StorageLevel.DISK_ONLY) // read by range-sampling, the blocks
       // shuffle, and the dl aggregation — persist beats recomputing the join
-    val blocks = postings
-      .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
-      .sortWithinPartitions($"key".asc, $"doc_id".asc)
-      .select($"key", $"doc_id")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        encodeBlocks(it.map { case (key, docId) =>
-          ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
-        }, blockSize, termOf.value)
+    val blocks =
+      if (openVocabulary) {
+        // no term dictionary at all: the shuffle sorts (term-string asc,
+        // tf desc, doc asc) directly. Costs string comparisons in the sort,
+        // buys independence from any vocabulary bound — for corpora where
+        // collecting the distinct term set to the driver is not an option.
+        // Output blocks are identical to the encoded path (same total
+        // order, same run cuts) — IndexSpec asserts rank-identity.
+        postings
+          .select($"term", $"doc_id", (lit(Int.MaxValue) - $"tf").as("neg_tf"))
+          .repartitionByRange(parts, $"term".asc, $"neg_tf".asc, $"doc_id".asc)
+          .sortWithinPartitions($"term".asc, $"neg_tf".asc, $"doc_id".asc)
+          .as[(String, Long, Int)]
+          .mapPartitions { it =>
+            encodeRuns[String](it.map { case (t, d, ntf) =>
+              (t, d, Int.MaxValue - ntf)
+            }, blockSize, identity)
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      } else {
+        // --- term-dictionary encoding for the heavy shuffle ---
+        // The blocks range shuffle + sort is the build's dominant cost.
+        // Terms are dictionary-encoded to dense ints FIRST (sorted order ⇒
+        // id order ≡ term order, so range partitioning, sort order and
+        // block order are all unchanged), and (tid asc, tf desc) is PACKED
+        // into one 8-byte key: tid in the high 32 bits, bit-flipped tf in
+        // the low 32. One long first sort column means Spark's radix-
+        // capable prefix sort covers the whole (tid, tf) order, shuffle
+        // rows shrink to (long, long), and the range partitioner samples a
+        // primitive key — less memory traffic in the build's heaviest
+        // stage. The term set must be collectable (lexicon-bounded here);
+        // otherwise use openVocabulary = true.
+        val termArr = postings.select($"term").distinct().orderBy($"term")
+          .collect().map(_.getString(0))
+        val termOf = spark.sparkContext.broadcast(termArr)
+        val termDim = spark.createDataFrame(
+          termArr.toIndexedSeq.zipWithIndex).toDF("term", "tid")
+        postings
+          .join(broadcast(termDim), Seq("term")) // codegen'd: no typed lambda
+          .select(((($"tid".cast("long")) * 4294967296L) +
+            (lit(Int.MaxValue.toLong) - $"tf")).as("key"), $"doc_id")
+          .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
+          .sortWithinPartitions($"key".asc, $"doc_id".asc)
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            encodeRuns[Int](it.map { case (key, docId) =>
+              ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
+            }, blockSize, termOf.value(_))
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val dictionary = blocks.groupBy($"term")
       .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
     val docs = docmap.join(
@@ -309,27 +328,33 @@ object IndexBuild {
     BuiltIndex(docs, dictionary, blocks)
   }
 
-  /** Cut a partition's (tid, tf desc, doc asc)-sorted posting stream into
-    * compressed blocks of ≤ blockSize postings per term run. Postings arrive
-    * as primitive (tid, doc_id, tf) tuples — the term string is resolved
-    * once per block from the broadcast id array. */
+  /** Back-compat shim for callers holding primitive (tid, doc, tf) streams. */
   private[graft] def encodeBlocks(it: Iterator[(Int, Long, Int)],
                                   blockSize: Int,
-                                  termOf: Array[String]): Iterator[PostingBlock] = {
+                                  termOf: Array[String]): Iterator[PostingBlock] =
+    encodeRuns[Int](it, blockSize, termOf(_))
+
+  /** Cut a partition's (termKey, tf desc, doc asc)-sorted posting stream
+    * into compressed blocks of ≤ blockSize postings per term run. The key is
+    * whatever the shuffle sorted on (dense int id or the term string);
+    * `nameOf` resolves it to the stored term string once per block. */
+  private[graft] def encodeRuns[K](it: Iterator[(K, Long, Int)],
+                                   blockSize: Int,
+                                   nameOf: K => String): Iterator[PostingBlock] = {
     val pid = TaskContext.getPartitionId()
     new Iterator[PostingBlock] {
       private val buf = it.buffered
-      private var curTid = -1
+      private var curTid: Option[K] = None
       private var blockSeq = 0
       def hasNext: Boolean = buf.hasNext
       def next(): PostingBlock = {
-        val head = buf.head
-        if (head._1 != curTid) { curTid = head._1; blockSeq = 0 }
-        val curTerm = termOf(curTid)
+        val runKey = buf.head._1
+        if (!curTid.contains(runKey)) { curTid = Some(runKey); blockSeq = 0 }
+        val curTerm = nameOf(runKey)
         val ids = new scala.collection.mutable.ArrayBuffer[Long](blockSize)
         val tfs = new scala.collection.mutable.ArrayBuffer[Int](blockSize)
         var maxTf = Int.MinValue
-        while (buf.hasNext && buf.head._1 == curTid && ids.length < blockSize) {
+        while (buf.hasNext && buf.head._1 == runKey && ids.length < blockSize) {
           val p = buf.next()
           ids += p._2; tfs += p._3
           if (p._3 > maxTf) maxTf = p._3

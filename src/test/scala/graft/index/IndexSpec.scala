@@ -122,6 +122,33 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("open-vocabulary build (no term dictionary anywhere) is block-identical") {
+    import spark.implicits._
+    // the string-keyed shuffle must cut exactly the same blocks as the
+    // dictionary-encoded path (same total order, same run boundaries)
+    val lex = spark.sparkContext.broadcast(Corpus.lexicon)
+    val triples = Corpus.generate(spark, numDocs).flatMap { p =>
+      graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+        .iterator.collect { case (t, tf) if t.length <= 100 => (p.url, t, tf) }
+    }.toDF("url", "term", "tf")
+    val open = IndexBuild.fromUrlTermTf(spark, triples, parts = 5,
+      blockSize = 64, openVocabulary = true)
+    // per-term GLOBAL posting streams (serving order across blocks) must be
+    // identical — block cut points may differ (range-sampler boundaries)
+    def streams(b: BuiltIndex): Map[String, Seq[(Long, Int)]] =
+      b.blocks.collect().groupBy(_.term).map { case (t, bs) =>
+        t -> bs.sortBy(x => (x.part_id, x.seq))
+          .flatMap(IndexBuild.decodeBlock).toSeq
+      }
+    assert(streams(open) == streams(built))
+    assert(open.dictionary.collect().sortBy(_.term).toSeq ==
+      built.dictionary.collect().sortBy(_.term).toSeq)
+    val sOpen = Searcher.fromIndex(open, numDocs)
+    val sEnc = Searcher.fromIndex(built, numDocs)
+    for (q <- queries.take(6))
+      assert(sOpen.referenceTopK(q) == sEnc.referenceTopK(q), s"open-vocab '$q'")
+  }
+
   test("build is deterministic across parallelism levels") {
     val built8 = IndexBuild.build(spark, Corpus.generate(spark, numDocs),
       Corpus.lexicon, parts = 11, blockSize = 64)
