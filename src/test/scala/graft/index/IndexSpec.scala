@@ -244,6 +244,39 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a 1000-query log replay stays un-broadcast and spot-checks identical") {
+    val s = Searcher.fromIndex(built, numDocs)
+    // deterministic synthetic query log over lexicon words (single + multi
+    // term, duplicates included — the put-overwrite path)
+    val words = Corpus.lexicon.toSeq.sorted
+    val rng = new scala.util.Random(7)
+    val log = (0 until 1000).map { i =>
+      val n = 1 + rng.nextInt(3)
+      (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" ")
+    }
+    // isinThreshold=0 forces the full-docs branch on this small corpus so
+    // the batch-size row cap is what decides the join hint: the 1000-query
+    // plan's worst-case scored rows (queries × terms × 200) exceed the cap
+    // → no broadcast hint beyond the expansion table, unlike a tiny batch
+    val df = graft.query.QueryOps.batchReferenceTopK(spark, built, log, numDocs,
+      isinThreshold = 0)
+    def hintCount(d: org.apache.spark.sql.DataFrame): Int =
+      "(?i)resolvedhint".r.findAllIn(d.queryExecution.analyzed.toString).size
+    val small = graft.query.QueryOps.batchReferenceTopK(spark, built, log.take(2),
+      numDocs, isinThreshold = 0)
+    assert(hintCount(df) < hintCount(small),
+      s"1000-query plan must drop a hint vs the 2-query plan")
+    val rows = df.collect()
+    val byQid = rows.groupBy(_.getInt(0))
+    assert(byQid.values.forall(_.length <= 200))
+    // spot-check 15 query ids against the driver-side scorer bit-identically
+    for (qi <- 0 until 1000 by 67) {
+      val got = byQid.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r.getDouble(3))).toList
+      assert(got == s.referenceTopK(log(qi)), s"log query $qi '${log(qi)}'")
+    }
+  }
+
   test("bm25 block-max path agrees with exhaustive scoring") {
     val s = Searcher.fromIndex(built, numDocs)
     // exhaustive: same formula, no pruning, via oracle-side recompute

@@ -83,6 +83,18 @@ class DirectSearcherSpec extends AnyFunSuite {
       s"query read $perQuery of $total index bytes — not a point lookup")
   }
 
+  test("empty corpus round-trips: write, open, and queries degrade to Nil") {
+    import spark.implicits._
+    val empty = IndexBuild.build(spark, spark.emptyDataset[graft.corpus.Page],
+      Corpus.lexicon, parts = 2, blockSize = 64)
+    val d = Files.createTempDirectory("graft-direct-empty").toFile.getAbsolutePath
+    DirectIndex.write(empty, d)
+    val ds = DirectSearcher.open(d, 1000)
+    assert(ds.referenceTopK("galaxy engine") == Nil)
+    assert(ds.bm25TopK("galaxy engine") == Nil)
+    assert(ds.referenceTopK("") == Nil)
+  }
+
   test("warm point lookups are single-digit-class latency (loose CI bound)") {
     val direct = DirectSearcher.open(dir, numDocs)
     for (q <- queries) direct.referenceTopK(q) // warm page cache + JIT
