@@ -532,12 +532,75 @@ object SparkEntry {
       }).toDF("rank", "url", "score")
     }),
 
+    // ---- OPEN-VOCABULARY build path: no term dictionary anywhere (no
+    // distinct-term collect), string-keyed blocks shuffle — for corpora
+    // whose vocabulary is unbounded. Must serve the same results under the
+    // same SQL oracle as the dictionary-encoded build. ----
+    "q41_search_openvocab" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
+      val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
+        graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
+          .iterator.collect { case (t, tf) if t.length <= 100 => (p.url, t, tf) }
+      }.toDF("url", "term", "tf")
+      val built = graft.index.IndexBuild.fromUrlTermTf(s, triples,
+        parts = searchParts(s), openVocabulary = true)
+      val hits = graft.query.Searcher.fromIndex(built, n)
+        .referenceTopK("compression encoding decoder")
+      s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
+        (i + 1, url, math.rint(score * 1e6) / 1e6)
+      }).toDF("rank", "url", "score")
+    }),
+
     // ---- sessionization (training-data/event-pipeline op): gap-based
     // gaps-and-islands over the events table; the streaming twin
     // (flatMapGroupsWithState custom state) is equality-tested in
     // StreamSessionizeSpec ----
     "q37_sessionize" -> ((s, d) =>
       graft.streaming.Sessionize.batch(t(s, d, "events"), gapSec = 86400L)),
+
+    // ---- STREAMING sessionization under the SAME oracle as the batch
+    // twin: the events table replays as a file stream (plus one far-future
+    // sentinel event per user that closes every trailing session and whose
+    // own open session never emits), through the flatMapGroupsWithState
+    // custom-state operator, into exactly the batch result — so q42's
+    // oracle SQL is q37's verbatim ----
+    "q42_sessionize_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val gap = 86400L
+      val real = t(s, d, "events")
+      val tsType = real.schema("ts").dataType
+      val src = java.nio.file.Files.createTempDirectory("graft_q42")
+      java.nio.file.Files.createSymbolicLink(
+        src.resolve("part-0.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val maxSec = real.select(max(c("ts").cast("timestamp").cast("long")))
+        .head().getLong(0)
+      real.select(c("user_id")).distinct()
+        .withColumn("event_id", c("user_id") + 10_000_000L)
+        .withColumn("ts", (lit(maxSec) + gap * 10).cast("timestamp").cast(tsType))
+        .withColumn("event_type", lit("sentinel"))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit(""))
+        .select(real.columns.map(c): _*)
+        .write.mode("append").parquet(src.toString)
+      val stream = s.readStream.schema(real.schema).parquet(src.toString)
+      val name = s"graft_q42_${System.nanoTime()}"
+      val q = graft.streaming.Sessionize.streaming(stream, gap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      // emit the batch twin's exact parquet types (source is TimestampNTZ;
+      // session timezone is UTC, so the cast is value-preserving)
+      s.table(name).select(c("user_id"),
+        c("session_start").cast(tsType).as("session_start"),
+        c("session_end").cast(tsType).as("session_end"),
+        c("n_events"), c("sum_value"))
+    }),
 
     // ---- doc-detail point lookup (reference GET /query/:url flow,
     // Backend.java:416-482): the pages table is keyed by the reference
@@ -909,6 +972,7 @@ object SparkEntry {
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
+    "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
 
     "q38_pq_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
@@ -928,6 +992,27 @@ object SparkEntry {
                   FROM joined GROUP BY vec_id)
           SELECT vec_id, round_even(s * 1e6, 0) / 1e6 AS adc_dist
           FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
+
+    // q42 = the batch sessionization oracle VERBATIM: streaming must land
+    // on exactly the batch result (sentinels close trailing sessions)
+    "q42_sessionize_stream" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  floor(epoch(ts))::BIGINT AS sec,
+                  lag(floor(epoch(ts))::BIGINT) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 86400
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM m)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sess_no""",
 
     "q37_sessionize" ->
       """WITH e AS (

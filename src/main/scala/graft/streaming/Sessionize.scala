@@ -11,11 +11,11 @@ final case class SessionOut(user_id: Long, session_start: Timestamp,
                             session_end: Timestamp, n_events: Long, sum_value: Double)
 
 /** Open-session state carried across streaming micro-batches. Timestamps
-  * are ORIGINAL epoch millis (batch emits min/max of the raw event
-  * timestamps, so the streaming twin must not truncate them); the gap rule
-  * itself compares floor-seconds, exactly like the batch twin's
-  * `cast(ts as long)`. */
-final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+  * are ORIGINAL epoch MICROS (parquet event-time precision — batch emits
+  * min/max of the raw event timestamps, so the streaming twin must not
+  * truncate them); the gap rule itself compares floor-seconds, exactly
+  * like the batch twin's `cast(ts as long)`. */
+final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
 
 /** Gap-based sessionization of the events stream — the canonical custom-
   * state streaming operator (builder-prompt §2.9: KeyValueGroupedDataset +
@@ -55,8 +55,14 @@ object Sessionize {
       .drop("sess_no")
   }
 
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def emit(userId: Long, st: SessionState): SessionOut =
-    SessionOut(userId, new Timestamp(st.startMs), new Timestamp(st.endMs), st.n,
+    SessionOut(userId, tsOfMicros(st.startUs), tsOfMicros(st.endUs), st.n,
       // same HALF_UP-on-exact-decimal rounding as Spark's round()
       BigDecimal(st.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
@@ -69,7 +75,7 @@ object Sessionize {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
         col("user_id"), col("value"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._3)
@@ -95,7 +101,7 @@ object Sessionize {
       .withWatermark("event_time", delay)
       // the WATERMARKED column itself must flow into the grouped Dataset
       // (Spark ties event-time timeout to a watermark attribute in the
-      // child's output); millis are taken from it inside the fold
+      // child's output); event-time micros are taken from it inside the fold
       .select(col("event_id"), col("event_time"), col("user_id"), col("value"))
       .as[(Long, java.sql.Timestamp, Long, Double)]
       .groupByKey(_._3)
@@ -110,12 +116,15 @@ object Sessionize {
             out
           } else {
             val out = foldEvents(uid,
-              it.map(e => (e._1, e._2.getTime, e._4)), st, gapSec)
+              it.map(e => (e._1,
+                e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L, e._4)),
+              st, gapSec)
             st.getOption.foreach { s =>
               // flush deadline: first instant whose floor-second gap from
               // session_end EXCEEDS gapSec (the batch rule's complement);
               // must stay above the current watermark or Spark rejects it
-              val deadline = (Math.floorDiv(s.endMs, 1000L) + gapSec + 1L) * 1000L
+              val deadline =
+                (Math.floorDiv(s.endUs, 1000000L) + gapSec + 1L) * 1000L
               st.setTimeoutTimestamp(math.max(deadline, st.getCurrentWatermarkMs() + 1L))
             }
             out
@@ -123,22 +132,22 @@ object Sessionize {
       }
   }
 
-  /** Shared per-group fold (events as (event_id, epochMs, value)). */
+  /** Shared per-group fold (events as (event_id, epochMicros, value)). */
   private def foldEvents(userId: Long, it: Iterator[(Long, Long, Double)],
                          state: GroupState[SessionState],
                          gapSec: Long): Iterator[SessionOut] = {
     val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._1))
     var cur = state.getOption.orNull
     val out = IndexedSeq.newBuilder[SessionOut]
-    for ((_, ms, v) <- sorted) {
-      val sec = Math.floorDiv(ms, 1000L)
-      if (cur != null && sec - Math.floorDiv(cur.endMs, 1000L) > gapSec) {
+    for ((_, us, v) <- sorted) {
+      val sec = Math.floorDiv(us, 1000000L)
+      if (cur != null && sec - Math.floorDiv(cur.endUs, 1000000L) > gapSec) {
         out += emit(userId, cur)
         cur = null
       }
       cur =
-        if (cur == null) SessionState(ms, ms, 1L, v)
-        else cur.copy(endMs = ms, n = cur.n + 1, sum = cur.sum + v)
+        if (cur == null) SessionState(us, us, 1L, v)
+        else cur.copy(endUs = us, n = cur.n + 1, sum = cur.sum + v)
     }
     if (cur != null) state.update(cur) else state.remove()
     out.result().iterator
