@@ -554,6 +554,33 @@ object SparkEntry {
       }).toDF("rank", "url", "score")
     }),
 
+    // ---- CHECKPOINT-RESUMABLE segmented build + merge (north rule:
+    // "resumable from checkpoint with per-partition lineage"): the corpus
+    // is bucketed, each bucket tokenized into a fingerprinted segment
+    // table partition, then SEGMENTS ARE BUILT TWICE — the second pass must
+    // reuse every clean bucket (zero re-tokenization) — and the merged
+    // index must serve the same results under the same SQL oracle ----
+    "q43_segmented_merge" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val dir = s"${auxDir}/_segments_$n"
+      val pages = graft.corpus.Corpus.generate(s, n)
+      graft.index.SegmentedIndex.buildSegments(s, pages, graft.corpus.Corpus.lexicon,
+        dir, buckets = 8)
+      // resume pass: identical input → every bucket carried, none rebuilt
+      val resume = graft.index.SegmentedIndex.buildSegments(s, pages,
+        graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      require(resume.rebuilt.isEmpty && resume.reused.size == 8,
+        s"resume must reuse all clean buckets, got $resume")
+      val built = graft.index.SegmentedIndex.merge(s, dir, parts = searchParts(s))
+      val hits = graft.query.Searcher.fromIndex(built, n)
+        .referenceTopK("12 station")
+      s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
+        (i + 1, url, math.rint(score * 1e6) / 1e6)
+      }).toDF("rank", "url", "score")
+    }),
+
     // ---- sessionization (training-data/event-pipeline op): gap-based
     // gaps-and-islands over the events table; the streaming twin
     // (flatMapGroupsWithState custom state) is equality-tested in
@@ -973,6 +1000,7 @@ object SparkEntry {
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
+    "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),
 
     "q38_pq_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
