@@ -66,8 +66,8 @@ object Bench {
       // warmup: small build first so JIT + codegen + class-load costs don't
       // masquerade as serial fraction in the measured run
       val warm = graft.index.IndexBuild.build(
-        spark, graft.corpus.Corpus.generate(spark, numDocs / 10),
-        graft.corpus.Corpus.lexicon, parts = cpus)
+        spark, graft.corpus.Corpus.generate(spark, numDocs / 10, slices = Some(cpus * 2)),
+        graft.corpus.Corpus.lexicon, parts = cpus * 2)
       warm.blocks.count(); warm.docs.count(); warm.dictionary.count()
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -80,9 +80,12 @@ object Bench {
       val t0 = System.nanoTime()
       // per-stage throughput metrics (north star): plan+ids / block encode /
       // docs join / dictionary agg
+      // parts = 2 waves of tasks per core (the cluster-realistic setting):
+      // with exactly one task per core, one straggler extends the whole
+      // stage; two waves let the scheduler rebalance
       val (built, planSec) = timed(graft.index.IndexBuild.build(
-        spark, graft.corpus.Corpus.generate(spark, numDocs),
-        graft.corpus.Corpus.lexicon, parts = cpus))
+        spark, graft.corpus.Corpus.generate(spark, numDocs, slices = Some(cpus * 2)),
+        graft.corpus.Corpus.lexicon, parts = cpus * 2))
       val (nBlocks, blocksSec) = timed(built.blocks.count())
       val (_, docsSec) = timed(built.docs.count())
       val (_, dictSec) = timed(built.dictionary.count())

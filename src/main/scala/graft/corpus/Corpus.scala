@@ -186,9 +186,14 @@ object Corpus {
   /** Distributed generation: spark.range → pure map. No shuffle; output is
     * partition-count-independent because rows are pure functions of i. */
   def generate(spark: SparkSession, numDocs: Long, numHosts: Int = 16,
-               seed: Long = 42L): Dataset[Page] = {
+               seed: Long = 42L, slices: Option[Int] = None): Dataset[Page] = {
     import spark.implicits._
-    spark.range(numDocs).map(i => makePage(i, numDocs, numHosts, seed))
+    // content is keyed on i alone → identical at any partition count;
+    // `slices` sets the tokenize-stage task count (benchmarks run ≥2 waves
+    // of tasks per core so one straggler can't extend the whole stage)
+    val ids = slices.map(s => spark.range(0L, numDocs, 1L, s))
+      .getOrElse(spark.range(numDocs))
+    ids.map(i => makePage(i, numDocs, numHosts, seed))
   }
 
   /** Local (driver-side) generation for the oracle and unit tests. */

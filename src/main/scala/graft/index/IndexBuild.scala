@@ -175,21 +175,16 @@ object IndexBuild {
       s"url-hash collision: $numDocs urls -> $hDistinct hashes; use the string path")
 
     // (tid asc, tf desc) packed into one 8-byte sort key — see the
-    // fromUrlTermTf comment; ids resolve via broadcast map (narrow) while
-    // the docmap fits, via an 8-byte-key shuffle join beyond that
-    val keyed =
-      if (numDocs <= broadcastDocLimit) {
-        val idOf = spark.sparkContext.broadcast(
-          docmap.select($"h", $"doc_id").as[(Long, Long)].collect().toMap)
-        hashed.select($"h", $"tid", $"tf").as[(Long, Int, Int)]
-          .map { case (h, tid, tf) =>
-            (tid.toLong * 4294967296L + (Int.MaxValue.toLong - tf), idOf.value(h))
-          }.toDF("key", "doc_id")
-      } else {
-        hashed.join(docmap.select($"h", $"doc_id"), Seq("h"))
-          .select(($"tid".cast("long") * 4294967296L +
-            (lit(Int.MaxValue.toLong) - $"tf")).as("key"), $"doc_id")
-      }
+    // fromUrlTermTf comment. Ids resolve via a BROADCAST HASH JOIN on the
+    // 8-byte url hash while the docmap fits — fully codegen'd (a typed map
+    // over a broadcast Scala Map measured slower: it forces an object
+    // ser/de boundary per posting row); an 8-byte-key shuffle join beyond
+    // the limit
+    val idSide = docmap.select($"h", $"doc_id")
+    val keyed = hashed
+      .join(if (numDocs <= broadcastDocLimit) broadcast(idSide) else idSide, Seq("h"))
+      .select(($"tid".cast("long") * 4294967296L +
+        (lit(Int.MaxValue.toLong) - $"tf")).as("key"), $"doc_id")
     val blocks = keyed
       .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
       .sortWithinPartitions($"key".asc, $"doc_id".asc)

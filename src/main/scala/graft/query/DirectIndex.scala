@@ -255,8 +255,26 @@ final class DirectSearcher private (dir: String, n: Int) {
     PostingBlock(term, ref.shard, 0, nPost, maxTf, docs, tfs, perm)
   }
 
-  private def blocksOf(term: String): IndexedSeq[PostingBlock] =
-    termRefs.getOrElse(term, IndexedSeq.empty).map(fetchBlock(term, _))
+  /** LAZY per-term block sequence: a block is fetched from the mmap on
+    * first access and memoized (repeated access — the BM25 bound probes —
+    * must not re-read). The reference scorer's 200-cap then touches only
+    * ceil(200/blockSize)+1 blocks of a head term instead of all of them;
+    * BM25 still faults in every block it accumulates, as it must. */
+  private def blocksOf(term: String): IndexedSeq[PostingBlock] = {
+    val refs = termRefs.getOrElse(term, IndexedSeq.empty)
+    if (refs.isEmpty) IndexedSeq.empty
+    else {
+      val cache = new Array[PostingBlock](refs.length)
+      new scala.collection.AbstractSeq[PostingBlock] with IndexedSeq[PostingBlock] {
+        def length: Int = refs.length
+        def apply(i: Int): PostingBlock = {
+          var b = cache(i)
+          if (b == null) { b = fetchBlock(term, refs(i)); cache(i) = b }
+          b
+        }
+      }
+    }
+  }
 
   /** (shard buffer, record position) for a doc id — binary search over the
     * shard ranges, then the shard's offset table indexed by id − minId. */

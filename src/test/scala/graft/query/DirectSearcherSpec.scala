@@ -81,6 +81,20 @@ class DirectSearcherSpec extends AnyFunSuite {
     assert(perQuery > 0, "expected some bytes read")
     assert(perQuery < total / 10,
       s"query read $perQuery of $total index bytes — not a point lookup")
+    // lazy block fetch: the 200-capped reference scan of a HEAD term must
+    // read far fewer block bytes than BM25, which genuinely needs them all.
+    // n=300000 (the reference's production constant) keeps the head term's
+    // idf nonzero so the capped walk actually runs.
+    val big300k = DirectSearcher.open(bigDir, 300000)
+    val b0 = big300k.bytesRead.get()
+    val refHits = big300k.referenceTopK("the")
+    val refBytes = big300k.bytesRead.get() - b0
+    assert(refHits.nonEmpty, "head term must rank docs at n=300000")
+    val b1 = big300k.bytesRead.get()
+    big300k.bm25TopK("the", 10)
+    val bm25Bytes = big300k.bytesRead.get() - b1
+    assert(refBytes * 3 < bm25Bytes,
+      s"head-term ref scan read $refBytes vs bm25 $bm25Bytes — lazy fetch not pruning")
   }
 
   test("empty corpus round-trips: write, open, and queries degrade to Nil") {
