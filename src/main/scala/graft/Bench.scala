@@ -233,7 +233,7 @@ object Bench {
           }
         val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
         val extraReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "6").toInt
-        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1500").toLong
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1200").toLong
         val target = 0.8
         val sectionStart = System.nanoTime()
         def budgetLeft: Boolean = (System.nanoTime() - sectionStart) / 1e9 < budgetSec

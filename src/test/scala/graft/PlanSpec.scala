@@ -64,6 +64,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("index build resolves posting ids through a codegen'd broadcast join") {
+    import spark.implicits._
+    val built = graft.index.IndexBuild.build(spark,
+      graft.corpus.Corpus.generate(spark, 200), graft.corpus.Corpus.lexicon, parts = 4)
+    val plan = built.blocks.queryExecution.executedPlan.toString
+    // the urlHash -> doc_id resolve must be a BroadcastHashJoin (no shuffle,
+    // whole-stage codegen), never a sort-merge join at broadcastable sizes
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$plan")
+  }
+
   test("q18 dedup hash-agg is partial (map-side combined)") {
     val plan = planOf("q18_dedup_exact")
     assert(plan.contains("HashAggregate") && plan.contains("partial"),
