@@ -109,6 +109,36 @@ class DirectSearcherSpec extends AnyFunSuite {
     assert(ds.referenceTopK("") == Nil)
   }
 
+  test("concurrent queries on one open searcher match serial results") {
+    // a serving tier is multithreaded: race a COLD searcher's lazy caches
+    // (shard mmap, per-shard dl decode, per-term block fetch) from many
+    // threads and require every result to equal the serial answer
+    val serial = DirectSearcher.open(dir, numDocs)
+    val qs = (queries ++ Seq("telescope", "observation comet", "nebula gravity", ""))
+    val expected = qs.map(q => q -> (serial.referenceTopK(q), serial.bm25TopK(q, 10))).toMap
+
+    val cold = DirectSearcher.open(dir, numDocs)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            // each thread walks the query list at a different starting point
+            // so threads hit the same term caches in different orders
+            (qs.drop(t % qs.length) ++ qs.take(t % qs.length)).flatMap { q =>
+              val (expRef, expBm) = expected(q)
+              val bad = Seq.newBuilder[String]
+              if (cold.referenceTopK(q) != expRef) bad += s"ref '$q' (thread $t)"
+              if (cold.bm25TopK(q, 10) != expBm) bad += s"bm25 '$q' (thread $t)"
+              bad.result()
+            }
+        })
+      }
+      val mismatches = futures.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(mismatches.isEmpty, s"concurrent mismatches: ${mismatches.take(5)}")
+    } finally pool.shutdownNow()
+  }
+
   test("warm point lookups are single-digit-class latency (loose CI bound)") {
     val direct = DirectSearcher.open(dir, numDocs)
     for (q <- queries) direct.referenceTopK(q) // warm page cache + JIT
