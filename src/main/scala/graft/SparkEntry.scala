@@ -565,15 +565,20 @@ object SparkEntry {
       val n = 1000
       dumpTriplesOnce(s, n)
       val dir = s"${auxDir}/_segments_$n"
+      // persisted: the lifecycle takes three actions over the corpus
+      // (fingerprint scan, tokenize write, resume fingerprint scan)
       val pages = graft.corpus.Corpus.generate(s, n)
-      graft.index.SegmentedIndex.buildSegments(s, pages, graft.corpus.Corpus.lexicon,
-        dir, buckets = 8)
-      // resume pass: identical input → every bucket carried, none rebuilt
-      val resume = graft.index.SegmentedIndex.buildSegments(s, pages,
-        graft.corpus.Corpus.lexicon, dir, buckets = 8)
-      require(resume.rebuilt.isEmpty && resume.reused.size == 8,
-        s"resume must reuse all clean buckets, got $resume")
-      val built = graft.index.SegmentedIndex.merge(s, dir, parts = searchParts(s))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val built = try {
+        graft.index.SegmentedIndex.buildSegments(s, pages, graft.corpus.Corpus.lexicon,
+          dir, buckets = 8)
+        // resume pass: identical input → every bucket carried, none rebuilt
+        val resume = graft.index.SegmentedIndex.buildSegments(s, pages,
+          graft.corpus.Corpus.lexicon, dir, buckets = 8)
+        require(resume.rebuilt.isEmpty && resume.reused.size == 8,
+          s"resume must reuse all clean buckets, got $resume")
+        graft.index.SegmentedIndex.merge(s, dir, parts = searchParts(s))
+      } finally pages.unpersist()
       val hits = graft.query.Searcher.fromIndex(built, n)
         .referenceTopK("12 station")
       s.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
