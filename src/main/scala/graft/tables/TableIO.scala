@@ -70,14 +70,18 @@ object TableIO {
   private def commitExisting(spark: SparkSession, dir: String, snapId: Long,
                              operation: String, schemaDdl: String,
                              partitionCol: Option[String],
-                             partitions: Map[String, String]): Unit = {
+                             partitions: Map[String, String],
+                             knownRows: Map[(String, String), Long] = Map.empty): Unit = {
     val dataDir = Paths.get(dir, "data", s"snap-$snapId")
     val files = listParquet(dataDir).map { p =>
       val rel = Paths.get(dir).relativize(p).toString
       val part = partitionCol.map { c =>
         p.getParent.getFileName.toString.stripPrefix(s"$c=")
       }.getOrElse("")
-      FileEntry(rel, rowCount(p), part, partitions.getOrElse(part, ""))
+      // files carried over from a parent snapshot (hard links) keep their
+      // recorded row counts — only freshly written files get a footer read
+      val rows = knownRows.getOrElse((part, p.getFileName.toString), rowCount(p))
+      FileEntry(rel, rows, part, partitions.getOrElse(part, ""))
     }
     val meta = metaDir(dir)
     Files.createDirectories(meta)
@@ -140,7 +144,10 @@ object TableIO {
                      partitionCol: String,
                      inputFingerprints: Map[String, String],
                      compute: Set[String] => DataFrame): (Long, Set[String], Set[String]) = {
-    val prior = if (currentSnapshotId(dir).isDefined) lineage(spark, dir) else Map.empty[String, String]
+    val parentManifest =
+      if (currentSnapshotId(dir).isDefined) manifest(spark, dir) else Seq.empty[FileEntry]
+    val prior = parentManifest.groupBy(_.partition)
+      .map { case (p, fs) => p -> fs.head.fingerprint }
     val reuse = inputFingerprints.keySet.filter(p => prior.get(p).contains(inputFingerprints(p)))
     val rebuild = inputFingerprints.keySet -- reuse
 
@@ -152,26 +159,34 @@ object TableIO {
     if (rebuild.nonEmpty) {
       val computed = compute(rebuild)
       rebuiltSchemaDdl = Some(computed.schema.toDDL)
-      computed.write.mode(SaveMode.Overwrite)
+      // partitionBy from T tasks writes up to T files PER partition value —
+      // the classic small-files explosion (manifest bloat, a footer read per
+      // file on every commit, an open per file on every read). One shuffle on
+      // the partition column collapses that to one file per value; at
+      // production scale cap file size with spark.sql.files.maxRecordsPerFile
+      // (Spark re-splits oversized partitions at write).
+      computed.repartition(org.apache.spark.sql.functions.col(partitionCol))
+        .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(dataDir.toString)
     }
     // carry over unchanged partitions from the parent snapshot via hard links
-    if (reuse.nonEmpty) {
-      val parentFiles = manifest(spark, dir).filter(f => reuse.contains(f.partition))
-      for (f <- parentFiles) {
-        val src = Paths.get(dir, f.path)
-        val dstDir = dataDir.resolve(s"$partitionCol=${f.partition}")
-        Files.createDirectories(dstDir)
-        Files.createLink(dstDir.resolve(src.getFileName), src)
-      }
+    val carried = parentManifest.filter(f => reuse.contains(f.partition))
+    for (f <- carried) {
+      val src = Paths.get(dir, f.path)
+      val dstDir = dataDir.resolve(s"$partitionCol=${f.partition}")
+      Files.createDirectories(dstDir)
+      Files.createLink(dstDir.resolve(src.getFileName), src)
     }
     // schema lineage: the rebuilt DataFrame's DDL, or — when everything was
     // reused via hard links — the parent snapshot's recorded schema
     val schemaDdl = rebuiltSchemaDdl.getOrElse(
       currentSnapshotId(dir).flatMap(p => snapshotMeta(spark, dir, p))
         .map(_.schema_ddl).getOrElse(""))
+    val knownRows = carried.map { f =>
+      (f.partition, Paths.get(f.path).getFileName.toString) -> f.rows
+    }.toMap
     commitExisting(spark, dir, snapId, operation, schemaDdl, Some(partitionCol),
-      inputFingerprints)
+      inputFingerprints, knownRows)
     (snapId, rebuild, reuse)
   }
 
