@@ -642,10 +642,7 @@ object SparkEntry {
     "q36_doc_detail" -> ((s, _) => {
       import s.implicits._
       val n = 500L
-      val keyed = graft.corpus.Corpus.generate(s, n)
-        .map(p => (graft.util.RefHasher.hash(p.url), p.url, new String(p.html, "UTF-8")))
-        .toDF("key", "url", "html")
-      dumpAuxSorted(keyed, "q36_pages", "key")
+      dumpPagesOnce(s, n)
       val keys = detailDocIds
         .map(i => graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)))
       s.read.parquet(s"${auxDir}/q36_pages").filter(col("key").isin(keys: _*))
@@ -654,12 +651,49 @@ object SparkEntry {
           val info = graft.query.DocDetail.pageInfo(u, Some(h))
           (u, info("title"), info("abstract"))
         }.toDF("url", "title", "abstract")
+    }),
+
+    // ---- the SAME GET /query/:url flow on the NO-SPARK-JOB tier: the
+    // pages table is written as DirectIndex sidecar shards (mmap'd
+    // fixed-width key tables — the reference Backend's point KVS fetch
+    // shape) and the five lookups run with zero jobs; same oracle as q36 ----
+    "q44_doc_detail_direct" -> ((s, _) => {
+      import s.implicits._
+      val n = 500L
+      dumpPagesOnce(s, n)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q44").toFile.getAbsolutePath
+      graft.query.DirectIndex.writePages(keyedPages(s, n), dir)
+      val pages = graft.query.DirectPages.open(dir)
+      val rows = detailDocIds.map { i =>
+        val url = graft.corpus.Corpus.urlOf(i, n, 16)
+        val info = graft.query.DocDetail.pageInfo(url,
+          pages.html(graft.util.RefHasher.hash(url)))
+        (url, info("title"), info("abstract"))
+      }
+      s.createDataset(rows).toDF("url", "title", "abstract")
     })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
     * constants embedded in the oracle SQL). */
   private val detailDocIds = Seq(3L, 57L, 123L, 250L, 499L)
+
+  /** The n-doc corpus keyed by the reference row-key hash — the pages table
+    * both doc-detail tiers (q36 parquet, q44 direct sidecar) serve from. */
+  private def keyedPages(s: SparkSession, n: Long): DataFrame = {
+    import s.implicits._
+    graft.corpus.Corpus.generate(s, n)
+      .map(p => (graft.util.RefHasher.hash(p.url), p.url, new String(p.html, "UTF-8")))
+      .toDF("key", "url", "html")
+  }
+
+  /** Key-sorted q36_pages oracle table, dumped once per JVM (q36 + q44
+    * share it). */
+  private val dumpedPages = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def dumpPagesOnce(s: SparkSession, n: Long): Unit = {
+    if (!dumpedPages.add(s"${auxDir}/q36_pages")) return
+    dumpAuxSorted(keyedPages(s, n), "q36_pages", "key")
+  }
 
   /** The q39 query-log batch (includes a duplicate-term query exercising
     * the put-overwrite expansion path). */
@@ -1001,6 +1035,7 @@ object SparkEntry {
           GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
     "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, triplesName(1000), withRank = false),
     "q36_doc_detail" -> docDetailSql(500L),
+    "q44_doc_detail_direct" -> docDetailSql(500L),
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),

@@ -196,6 +196,93 @@ object DirectIndex {
     try (in.readLong(), in.readLong(), in.readLong())
     finally in.close()
   }
+
+  private[query] def mapShard(dir: String, name: String): java.nio.MappedByteBuffer = {
+    val p = new File(dir, name).toPath
+    val ch = FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      // one MappedByteBuffer caps at 2 GiB; a production shard writer splits
+      // files below that (shard count is free), so a single mapping suffices
+      require(size <= Int.MaxValue, s"shard $name exceeds 2 GiB — split shards")
+      ch.map(FileChannel.MapMode.READ_ONLY, 0, size)
+    } finally ch.close()
+  }
+
+  // ------------------------------------------------------- pages (doc detail)
+
+  /** [[graft.util.RefHasher.hash]] emits 20 lowercase-ASCII char pairs, so
+    * page keys are FIXED-WIDTH 40 bytes and byte order == string order —
+    * the shard key tables binary-search raw bytes, no decode per probe. */
+  private[query] val PageKeyWidth = 40
+
+  /** Sidecar pages shards for the no-Spark-job `GET /query/:url` flow (the
+    * reference Backend keeps pages in its KVS and point-fetches by row key,
+    * Backend.java:416-482 — this is that shape on shard files).
+    *
+    * `keyed` must have (key: String — the reference row-key hash, html:
+    * String). A global sort on key range-partitions the table into DISJOINT
+    * sorted key ranges; each task streams `pages-<pid>.bin`:
+    * `[htmlLen][htmlBytes]` records first, then a fixed-width
+    * `[40-byte key][8-byte offset]` table. Only per-shard index rows
+    * (count, table position, min/max key — a few dozen bytes) return to the
+    * driver, which writes `pages.idx`. Serving memory is O(shards); lookups
+    * binary-search the mmap'd table. */
+  def writePages(keyed: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    val dirAbs = d.getAbsolutePath
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val shards = keyed.select("key", "html").as[(String, String)]
+      .sort("key")
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val f = new File(dirAbs, s"pages-$pid.bin")
+        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+        val keys = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+        var pos = 0L
+        try {
+          for ((k, html) <- it) {
+            val kb = k.getBytes("UTF-8")
+            require(kb.length == PageKeyWidth,
+              s"page key '$k' is not a ${PageKeyWidth}-byte reference row-key hash")
+            val hb = html.getBytes("UTF-8")
+            keys += ((kb, pos))
+            out.writeInt(hb.length); out.write(hb)
+            pos += 4L + hb.length
+          }
+          val tablePos = pos
+          for ((kb, off) <- keys) { out.write(kb); out.writeLong(off) }
+        } finally out.close()
+        if (keys.isEmpty) { f.delete(); Iterator.empty }
+        else Iterator.single((pid, keys.length, pos,
+          new String(keys.head._1, "UTF-8"), new String(keys.last._1, "UTF-8")))
+      }.collect().sortBy(_._4)
+    val idx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirAbs, "pages.idx"))))
+    try {
+      idx.writeInt(shards.length)
+      for ((pid, count, tablePos, minKey, maxKey) <- shards) {
+        idx.writeInt(pid); idx.writeInt(count); idx.writeLong(tablePos)
+        idx.write(minKey.getBytes("UTF-8")); idx.write(maxKey.getBytes("UTF-8"))
+      }
+    } finally idx.close()
+  }
+
+  private[query] def readPagesIdx(dir: String): IndexedSeq[(Int, Int, Long, Array[Byte], Array[Byte])] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(new File(dir, "pages.idx"))))
+    try {
+      val n = in.readInt()
+      IndexedSeq.fill(n) {
+        val pid = in.readInt(); val count = in.readInt(); val tablePos = in.readLong()
+        val minK = new Array[Byte](PageKeyWidth); in.readFully(minK)
+        val maxK = new Array[Byte](PageKeyWidth); in.readFully(maxK)
+        (pid, count, tablePos, minK, maxK)
+      }
+    } finally in.close()
+  }
 }
 
 /** NO-SPARK-JOB point-lookup serving tier — [[LazySearcher]]'s fetch
@@ -225,23 +312,12 @@ final class DirectSearcher private (dir: String, n: Int) {
 
   val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def mapShard(name: String): java.nio.MappedByteBuffer = {
-    val p = new File(dir, name).toPath
-    val ch = FileChannel.open(p, StandardOpenOption.READ)
-    try {
-      val size = ch.size()
-      // one MappedByteBuffer caps at 2 GiB; a production shard writer splits
-      // files below that (shard count is free), so a single mapping suffices
-      require(size <= Int.MaxValue, s"shard $name exceeds 2 GiB — split shards")
-      ch.map(FileChannel.MapMode.READ_ONLY, 0, size)
-    } finally ch.close()
-  }
   private val blockBufs = new java.util.concurrent.ConcurrentHashMap[Int, java.nio.MappedByteBuffer]()
   private val docBufs = new java.util.concurrent.ConcurrentHashMap[Int, java.nio.MappedByteBuffer]()
   private def blockBuf(shard: Int) =
-    blockBufs.computeIfAbsent(shard, s => mapShard(s"blocks-$s.bin"))
+    blockBufs.computeIfAbsent(shard, s => DirectIndex.mapShard(dir, s"blocks-$s.bin"))
   private def docBuf(shard: Int) =
-    docBufs.computeIfAbsent(shard, s => mapShard(s"docs-$s.bin"))
+    docBufs.computeIfAbsent(shard, s => DirectIndex.mapShard(dir, s"docs-$s.bin"))
 
   private def fetchBlock(term: String, ref: BlockRef): PostingBlock = {
     val buf = blockBuf(ref.shard)
@@ -353,4 +429,81 @@ object DirectSearcher {
     * the reference scorer's corpus-size constant (README step 7 semantics,
     * same as every other tier). Requires NO SparkSession. */
   def open(dir: String, n: Int): DirectSearcher = new DirectSearcher(dir, n)
+}
+
+/** NO-SPARK-JOB doc-detail tier over [[DirectIndex.writePages]] sidecar
+  * shards — the reference Backend's `GET /query/:url` point KVS fetch
+  * (Backend.java:416-482) with bounded memory: only per-shard index rows
+  * (min/max key, table position) live in heap; key tables and page bytes
+  * are mmap'd and binary-searched per lookup. Thread safety: absolute
+  * (positional) buffer gets only, like [[DirectSearcher]]. */
+final class DirectPages private (dir: String) {
+  import DirectIndex.PageKeyWidth
+
+  // sorted by minKey; ranges are disjoint (global sort at write)
+  private val shards = DirectIndex.readPagesIdx(dir)
+  private val bufs = new java.util.concurrent.ConcurrentHashMap[Int, java.nio.MappedByteBuffer]()
+  private def buf(pid: Int) =
+    bufs.computeIfAbsent(pid, p => DirectIndex.mapShard(dir, s"pages-$p.bin"))
+
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cmpKeyAt(b: java.nio.MappedByteBuffer, pos: Long, kb: Array[Byte]): Int = {
+    var i = 0
+    while (i < PageKeyWidth) {
+      val c = (b.get((pos + i).toInt) & 0xff) - (kb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** The page html for a reference row-key hash, or None when absent (the
+    * reference's null-row branch). O(log shards) heap compares + O(log
+    * rows-per-shard) mmap probes. */
+  def html(key: String): Option[String] = {
+    val kb = key.getBytes("UTF-8")
+    if (kb.length != PageKeyWidth || shards.isEmpty) return None
+    // last shard with minKey <= key
+    var lo = 0; var hi = shards.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (java.util.Arrays.compareUnsigned(shards(mid)._4, kb) <= 0) lo = mid else hi = mid - 1
+    }
+    val (pid, count, tablePos, minK, maxK) = shards(lo)
+    if (java.util.Arrays.compareUnsigned(minK, kb) > 0 ||
+        java.util.Arrays.compareUnsigned(maxK, kb) < 0) return None
+    val b = buf(pid)
+    var l = 0; var h = count - 1
+    while (l <= h) {
+      val mid = (l + h) >>> 1
+      val entry = tablePos + mid.toLong * (PageKeyWidth + 8)
+      val c = cmpKeyAt(b, entry, kb)
+      if (c == 0) {
+        val off = b.getLong((entry + PageKeyWidth).toInt)
+        val len = b.getInt(off.toInt)
+        val hb = new Array[Byte](len)
+        b.get(off.toInt + 4, hb)
+        bytesRead.addAndGet(PageKeyWidth + 12L + len)
+        return Some(new String(hb, "UTF-8"))
+      } else if (c < 0) l = mid + 1
+      else h = mid - 1
+    }
+    None
+  }
+
+  /** `GET /query/:url` response body with zero Spark jobs — same payload as
+    * [[Serving.detailJson]] over the parquet pages table. */
+  def detailJson(url: String): String =
+    Serving.pageInfoJson(url, html(graft.util.RefHasher.hash(url)))
+
+  /** Total sidecar bytes on disk (for bytes-read ≪ store-size checks). */
+  def storeBytes: Long =
+    Option(new File(dir).listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+}
+
+object DirectPages {
+  /** Open pages sidecar shards written by [[DirectIndex.writePages]].
+    * Requires NO SparkSession. */
+  def open(dir: String): DirectPages = new DirectPages(dir)
 }
