@@ -39,9 +39,18 @@ object DirectIndex {
 
   final case class BlockRef(shard: Int, offset: Long)
 
+  /** Remove previously written artifacts matching `names` so a re-write
+    * into the same dir can't leave orphan shards from a run with more
+    * partitions (never referenced by the index files, but they'd distort
+    * the on-disk size counters and break write idempotence). */
+  private def purge(d: File, names: String => Boolean): Unit =
+    Option(d.listFiles()).foreach(_.filter(f => names(f.getName)).foreach(_.delete()))
+
   def write(built: BuiltIndex, dir: String): Unit = {
     val d = new File(dir)
     d.mkdirs()
+    purge(d, n => (n.startsWith("blocks-") || n.startsWith("docs-")) && n.endsWith(".bin") ||
+      Set("terms.idx", "docs.idx", "dict.bin", "meta.bin")(n))
     val dirAbs = d.getAbsolutePath
     val spark = built.docs.sparkSession
     import spark.implicits._
@@ -231,6 +240,7 @@ object DirectIndex {
   def writePages(keyed: org.apache.spark.sql.DataFrame, dir: String): Unit = {
     val d = new File(dir)
     d.mkdirs()
+    purge(d, n => n.startsWith("pages-") && n.endsWith(".bin") || n == "pages.idx")
     val dirAbs = d.getAbsolutePath
     val spark = keyed.sparkSession
     import spark.implicits._

@@ -153,6 +153,12 @@ object TableIO {
 
     val snapId = currentSnapshotId(dir).getOrElse(0L) + 1
     val dataDir = Paths.get(dir, "data", s"snap-$snapId")
+    // a prior attempt may have written data files here and died before the
+    // pointer commit (commit = the atomic `current` move, so an existing
+    // snap-<id> dir above the current pointer is by definition uncommitted
+    // garbage); without this purge, carried hard links land NEXT TO the
+    // orphans and the manifest double-counts the partition
+    deleteRecursively(dataDir)
     Files.createDirectories(dataDir)
 
     var rebuiltSchemaDdl: Option[String] = None
@@ -191,6 +197,11 @@ object TableIO {
   }
 
   // ------------------------------------------------------------------ helpers
+  private def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+
   private def listParquet(root: Path): Seq[Path] =
     Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))

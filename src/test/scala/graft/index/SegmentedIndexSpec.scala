@@ -85,6 +85,32 @@ class SegmentedIndexSpec extends AnyFunSuite {
            TableIO.snapshotMeta(spark, dir, r2.snapshotId).get.schema_ddl)
   }
 
+  test("resume after a crashed uncommitted write attempt does not double-count rows") {
+    val dir = Files.createTempDirectory("segidx-crash").toString
+    val pages = Corpus.generate(spark, 120)
+    val r1 = SegmentedIndex.buildSegments(spark, pages, Corpus.lexicon, dir, buckets)
+    val rows1 = TableIO.read(spark, dir).count()
+
+    // simulate an attempt that wrote data files for the NEXT snapshot and
+    // died before the pointer commit: orphan parquet files sit in the
+    // snap dir the retry will reuse-into
+    val nextSnap = TableIO.currentSnapshotId(dir).get + 1
+    val crashDir = java.nio.file.Paths.get(dir, "data", s"snap-$nextSnap", "bucket=0")
+    Files.createDirectories(crashDir)
+    val existing = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val srcFile = scala.jdk.CollectionConverters.IteratorHasAsScala(existing).asScala
+      .find(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).get
+    Files.copy(srcFile, crashDir.resolve("part-dead-task-attempt.snappy.parquet"))
+
+    // the retry (identical input → all buckets reused) must not manifest the
+    // orphan alongside the carried files
+    val r2 = SegmentedIndex.buildSegments(spark, pages, Corpus.lexicon, dir, buckets)
+    assert(r2.rebuilt.isEmpty && r2.reused.size == buckets)
+    val rows2 = TableIO.read(spark, dir).count()
+    assert(rows2 == rows1, s"crashed-attempt orphan double-counted: $rows2 vs $rows1")
+  }
+
   test("index save/load round-trip serves identical results") {
     val dir = Files.createTempDirectory("idxsave").toString
     val pages = Corpus.generate(spark, 150)
