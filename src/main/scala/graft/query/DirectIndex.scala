@@ -2,7 +2,7 @@ package graft.query
 
 import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
 import java.nio.channels.FileChannel
-import java.nio.file.StandardOpenOption
+import java.nio.file.{StandardCopyOption, StandardOpenOption}
 import org.apache.spark.TaskContext
 import graft.index.{BuiltIndex, DictEntry, PostingBlock}
 
@@ -39,27 +39,77 @@ object DirectIndex {
 
   final case class BlockRef(shard: Int, offset: Long)
 
-  /** Remove previously written artifacts matching `names` so a re-write
-    * into the same dir can't leave orphan shards from a run with more
-    * partitions (never referenced by the index files, but they'd distort
-    * the on-disk size counters and break write idempotence). */
-  private def purge(d: File, names: String => Boolean): Unit =
-    Option(d.listFiles()).foreach(_.filter(f => names(f.getName)).foreach(_.delete()))
+  // ------------------------------------------ crash-safe generation commits
+  //
+  // A rewrite must never destroy the live serving copy (purge-in-place would
+  // leave the dir unservable if the distributed write dies half-way). Each
+  // write lands in a fresh `<family>-gen-<stamp>/` subdir; the commit is an
+  // atomic move of the tiny `current.<family>` pointer file — the same
+  // snapshot-plus-pointer shape as graft.tables.TableIO. Readers resolve the
+  // pointer at open; a reader opened before a rewrite keeps serving every
+  // shard it has already mapped (mmap holds the inode past the GC unlink),
+  // but its unmapped shards die with the GC — a production rollover reopens
+  // (cheap: index files only) on pointer change. A dir with no pointer file
+  // is read flat (pre-generation layout).
+  private def newGenDir(dir: String, family: String): File = {
+    val d = new File(dir, s"$family-gen-${System.currentTimeMillis()}-${System.nanoTime() % 1000000}")
+    require(d.mkdirs(), s"cannot create generation dir $d")
+    d
+  }
+
+  private def commitGen(dir: String, family: String, gen: File): Unit = {
+    val tmp = new File(dir, s"current.$family.tmp").toPath
+    java.nio.file.Files.write(tmp, gen.getName.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, new File(dir, s"current.$family").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded generations (open readers still hold their mappings)
+    Option(new File(dir).listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(s"$family-gen-") && f.getName != gen.getName) {
+        Option(f.listFiles()).foreach(_.foreach(_.delete())); f.delete()
+      }
+    })
+  }
+
+  /** The directory a reader should serve `family` from: the committed
+    * generation if a pointer exists, else `dir` itself (flat layout). */
+  private[query] def resolveDir(dir: String, family: String): String = {
+    val p = new File(dir, s"current.$family").toPath
+    if (java.nio.file.Files.exists(p))
+      new File(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim).getAbsolutePath
+    else dir
+  }
+
+  // ------------------------------------------- attempt-isolated shard writes
+  //
+  // Executor tasks stream shard files directly; with speculation or task
+  // retries, two attempts of the same partition would otherwise interleave
+  // writes into ONE file (the second open truncates the first mid-stream).
+  // Each attempt writes `<name>.attempt-<id>` and atomically renames into
+  // place when its iterator completes — partition contents are deterministic,
+  // so whichever attempt renames last leaves identical bytes.
+  private def attemptFile(dirAbs: String, finalName: String): File = {
+    val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    new File(dirAbs, s"$finalName.attempt-$attempt")
+  }
+
+  private def commitShardFile(tmp: File, dirAbs: String, finalName: String, keep: Boolean): Unit =
+    if (!keep) { tmp.delete(); () }
+    else java.nio.file.Files.move(tmp.toPath, new File(dirAbs, finalName).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
   def write(built: BuiltIndex, dir: String): Unit = {
-    val d = new File(dir)
-    d.mkdirs()
-    purge(d, n => (n.startsWith("blocks-") || n.startsWith("docs-")) && n.endsWith(".bin") ||
-      Set("terms.idx", "docs.idx", "dict.bin", "meta.bin")(n))
-    val dirAbs = d.getAbsolutePath
+    new File(dir).mkdirs()
+    val gen = newGenDir(dir, "index")
+    val dirAbs = gen.getAbsolutePath
     val spark = built.docs.sparkSession
     import spark.implicits._
 
     // ---- blocks shards: each task streams its partition ----
     val blockRefs = built.blocks.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val f = new File(dirAbs, s"blocks-$pid.bin")
-      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+      val name = s"blocks-$pid.bin"
+      val tmp = attemptFile(dirAbs, name)
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
       var offset = 0L
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Long)]
       try {
@@ -72,7 +122,7 @@ object DirectIndex {
           offset += 20L + b.docs_vb.length + b.tfs_vb.length + b.perm_vb.length
         }
       } finally out.close()
-      if (acc.isEmpty) f.delete()
+      commitShardFile(tmp, dirAbs, name, keep = acc.nonEmpty)
       acc.iterator
     }.collect()
 
@@ -91,40 +141,49 @@ object DirectIndex {
       }
     } finally idx.close()
 
-    // ---- docs shards: range-sorted by doc_id → contiguous id ranges ----
+    // ---- docs shards: range-sorted by doc_id → contiguous id ranges.
+    // The same single pass accumulates the corpus scalars meta.bin needs
+    // (row count, exact dl sum, dl min) — no second agg job over the docs.
     val docShards = built.docs.sort("doc_id").mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val f = new File(dirAbs, s"docs-$pid.bin")
-      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+      val name = s"docs-$pid.bin"
+      val tmp = attemptFile(dirAbs, name)
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
       val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
       var minId = Long.MaxValue
       var maxId = Long.MinValue
+      var dlSum = 0L
+      var dlMin = Long.MaxValue
       var pos = 0L
+      var tablePos = 0L
       try {
         for (dm <- it) {
           if (dm.doc_id < minId) minId = dm.doc_id
           if (dm.doc_id > maxId) maxId = dm.doc_id
+          dlSum += dm.dl
+          if (dm.dl < dlMin) dlMin = dm.dl
           offsets += pos
           val ub = dm.url.getBytes("UTF-8")
           out.writeLong(dm.dl); out.writeInt(ub.length); out.write(ub)
           pos += 12L + ub.length
         }
-        val tablePos = pos
+        tablePos = pos
         offsets.foreach(out.writeLong)
-        if (offsets.isEmpty) Iterator.empty
-        else {
-          // dense global ids + range sort ⇒ a shard's range is contiguous
-          require(maxId - minId + 1 == offsets.length,
-            s"docs shard $pid ids not contiguous: [$minId,$maxId] for ${offsets.length} rows")
-          Iterator.single((pid, minId, offsets.length, tablePos))
-        }
       } finally out.close()
+      commitShardFile(tmp, dirAbs, name, keep = offsets.nonEmpty)
+      if (offsets.isEmpty) Iterator.empty
+      else {
+        // dense global ids + range sort ⇒ a shard's range is contiguous
+        require(maxId - minId + 1 == offsets.length,
+          s"docs shard $pid ids not contiguous: [$minId,$maxId] for ${offsets.length} rows")
+        Iterator.single((pid, minId, offsets.length, tablePos, dlSum, dlMin))
+      }
     }.collect().sortBy(_._2)
     val didx = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(new File(dirAbs, "docs.idx"))))
     try {
       didx.writeInt(docShards.length)
-      for ((pid, minId, count, tablePos) <- docShards) {
+      for ((pid, minId, count, tablePos, _, _) <- docShards) {
         didx.writeInt(pid); didx.writeLong(minId); didx.writeInt(count)
         didx.writeLong(tablePos)
       }
@@ -142,16 +201,17 @@ object DirectIndex {
         dout.writeLong(e.df); dout.writeInt(e.max_tf)
       }
     } finally dout.close()
-    val r = built.docs.agg(
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-      org.apache.spark.sql.functions.sum($"dl"),
-      org.apache.spark.sql.functions.min($"dl")).head()
+    val numDocs = docShards.map(_._3.toLong).sum
+    val dlSum = docShards.map(_._5).sum
+    val dlMin = if (docShards.isEmpty) 0L else docShards.map(_._6).min
     val mout = new DataOutputStream(new FileOutputStream(new File(dirAbs, "meta.bin")))
     try {
-      mout.writeLong(r.getLong(0))
-      mout.writeLong(if (r.isNullAt(1)) 0L else r.getLong(1))
-      mout.writeLong(if (r.isNullAt(2)) 0L else r.getLong(2))
+      mout.writeLong(numDocs)
+      mout.writeLong(dlSum)
+      mout.writeLong(dlMin)
     } finally mout.close()
+
+    commitGen(dir, "index", gen)
   }
 
   private[query] def readDict(dir: String): Map[String, DictEntry] = {
@@ -238,18 +298,18 @@ object DirectIndex {
     * driver, which writes `pages.idx`. Serving memory is O(shards); lookups
     * binary-search the mmap'd table. */
   def writePages(keyed: org.apache.spark.sql.DataFrame, dir: String): Unit = {
-    val d = new File(dir)
-    d.mkdirs()
-    purge(d, n => n.startsWith("pages-") && n.endsWith(".bin") || n == "pages.idx")
-    val dirAbs = d.getAbsolutePath
+    new File(dir).mkdirs()
+    val gen = newGenDir(dir, "pages")
+    val dirAbs = gen.getAbsolutePath
     val spark = keyed.sparkSession
     import spark.implicits._
     val shards = keyed.select("key", "html").as[(String, String)]
       .sort("key")
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        val f = new File(dirAbs, s"pages-$pid.bin")
-        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+        val name = s"pages-$pid.bin"
+        val tmp = attemptFile(dirAbs, name)
+        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
         val keys = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
         var pos = 0L
         try {
@@ -265,10 +325,16 @@ object DirectIndex {
           val tablePos = pos
           for ((kb, off) <- keys) { out.write(kb); out.writeLong(off) }
         } finally out.close()
-        if (keys.isEmpty) { f.delete(); Iterator.empty }
+        commitShardFile(tmp, dirAbs, name, keep = keys.nonEmpty)
+        if (keys.isEmpty) Iterator.empty
         else Iterator.single((pid, keys.length, pos,
           new String(keys.head._1, "UTF-8"), new String(keys.last._1, "UTF-8")))
-      }.collect().sortBy(_._4)
+      }.collect()
+      // order shards by RAW KEY BYTES — the same unsigned-byte order the
+      // lookup's binary search and Spark's UTF8String sort use; Java String
+      // order disagrees for supplementary-plane characters
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+        a._4.getBytes("UTF-8"), b._4.getBytes("UTF-8")) < 0)
     val idx = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(new File(dirAbs, "pages.idx"))))
     try {
@@ -278,6 +344,8 @@ object DirectIndex {
         idx.write(minKey.getBytes("UTF-8")); idx.write(maxKey.getBytes("UTF-8"))
       }
     } finally idx.close()
+
+    commitGen(dir, "pages", gen)
   }
 
   private[query] def readPagesIdx(dir: String): IndexedSeq[(Int, Int, Long, Array[Byte], Array[Byte])] = {
@@ -362,16 +430,23 @@ final class DirectSearcher private (dir: String, n: Int) {
     }
   }
 
-  /** (shard buffer, record position) for a doc id — binary search over the
-    * shard ranges, then the shard's offset table indexed by id − minId. */
-  private def recordPos(id: Long): (java.nio.MappedByteBuffer, Int) = {
+  /** Index into `docShards` of the shard holding `id` — last shard with
+    * minId <= id, range-checked. Shared by the url and dl lookups. */
+  private def shardIdxOf(id: Long): Int = {
     var lo = 0; var hi = docShards.length - 1
     while (lo < hi) {
       val mid = (lo + hi + 1) >>> 1
       if (docShards(mid)._2 <= id) lo = mid else hi = mid - 1
     }
-    val (pid, minId, count, tablePos) = docShards(lo)
+    val (_, minId, count, _) = docShards(lo)
     require(id >= minId && id < minId + count, s"doc_id $id out of range")
+    lo
+  }
+
+  /** (shard buffer, record position) for a doc id — binary search over the
+    * shard ranges, then the shard's offset table indexed by id − minId. */
+  private def recordPos(id: Long): (java.nio.MappedByteBuffer, Int) = {
+    val (pid, minId, _, tablePos) = docShards(shardIdxOf(id))
     val buf = docBuf(pid)
     val off = buf.getLong((tablePos + 8L * (id - minId)).toInt)
     (buf, off.toInt)
@@ -399,14 +474,8 @@ final class DirectSearcher private (dir: String, n: Int) {
     })
 
   private def dlOf(id: Long): Long = {
-    var lo = 0; var hi = docShards.length - 1
-    while (lo < hi) {
-      val mid = (lo + hi + 1) >>> 1
-      if (docShards(mid)._2 <= id) lo = mid else hi = mid - 1
-    }
-    val (_, minId, count, _) = docShards(lo)
-    require(id >= minId && id < minId + count, s"doc_id $id out of range")
-    dlShard(lo)((id - minId).toInt)
+    val si = shardIdxOf(id)
+    dlShard(si)((id - docShards(si)._2).toInt)
   }
 
   private def urlOf(id: Long): String = {
@@ -438,7 +507,8 @@ object DirectSearcher {
   /** Open the sidecar artifacts written by [[DirectIndex.write]]. `n` is
     * the reference scorer's corpus-size constant (README step 7 semantics,
     * same as every other tier). Requires NO SparkSession. */
-  def open(dir: String, n: Int): DirectSearcher = new DirectSearcher(dir, n)
+  def open(dir: String, n: Int): DirectSearcher =
+    new DirectSearcher(DirectIndex.resolveDir(dir, "index"), n)
 }
 
 /** NO-SPARK-JOB doc-detail tier over [[DirectIndex.writePages]] sidecar
@@ -515,5 +585,5 @@ final class DirectPages private (dir: String) {
 object DirectPages {
   /** Open pages sidecar shards written by [[DirectIndex.writePages]].
     * Requires NO SparkSession. */
-  def open(dir: String): DirectPages = new DirectPages(dir)
+  def open(dir: String): DirectPages = new DirectPages(DirectIndex.resolveDir(dir, "pages"))
 }

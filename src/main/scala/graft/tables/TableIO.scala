@@ -122,11 +122,21 @@ object TableIO {
       .as[FileEntry].collect().toSeq
   }
 
-  /** Read a snapshot (default current) — time travel via `snapshotId`. */
+  /** Read a snapshot (default current) — time travel via `snapshotId`. An
+    * empty snapshot (zero data files — e.g. an empty source committed by
+    * [[writeResumable]]) reads as an empty DataFrame with the snapshot's
+    * recorded schema rather than Spark's zero-path inference error. */
   def read(spark: SparkSession, dir: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val files = manifest(spark, dir, snapshotId).map(f => s"$dir/${f.path}")
-    spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      val snap = snapshotId.orElse(currentSnapshotId(dir)).get
+      val ddl = snapshotMeta(spark, dir, snap).map(_.schema_ddl).getOrElse("")
+      require(ddl.nonEmpty, s"empty snapshot $snap at $dir records no schema")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
   }
 
   /** Per-partition fingerprints recorded in a snapshot (the lineage). */
@@ -144,6 +154,14 @@ object TableIO {
                      partitionCol: String,
                      inputFingerprints: Map[String, String],
                      compute: Set[String] => DataFrame): (Long, Set[String], Set[String]) = {
+    // commitExisting recovers partition values by PARSING the Spark-written
+    // directory names; a value Spark escapes in paths (':', '/', space, …)
+    // would parse back escaped, miss the fingerprint map, and silently
+    // degrade resume to a full rebuild every run — reject it up front
+    inputFingerprints.keys.foreach { p =>
+      require(p.matches("[A-Za-z0-9_.-]+"),
+        s"partition value '$p' contains path-escaped characters; use a path-safe encoding")
+    }
     val parentManifest =
       if (currentSnapshotId(dir).isDefined) manifest(spark, dir) else Seq.empty[FileEntry]
     val prior = parentManifest.groupBy(_.partition)
@@ -198,14 +216,20 @@ object TableIO {
 
   // ------------------------------------------------------------------ helpers
   private def deleteRecursively(root: Path): Unit =
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close() // Files.walk holds open DirectoryStreams (fd leak)
+    }
 
-  private def listParquet(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
+  private def listParquet(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+    finally s.close()
+  }
 
   /** Row count from the parquet footer (no data read). */
   private def rowCount(p: Path): Long = {

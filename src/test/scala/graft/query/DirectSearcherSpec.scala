@@ -109,6 +109,31 @@ class DirectSearcherSpec extends AnyFunSuite {
     assert(ds.referenceTopK("") == Nil)
   }
 
+  test("rewrites are generation-committed: a crashed attempt can't unserve the live copy") {
+    val d = Files.createTempDirectory("graft-direct-gen").toFile.getAbsolutePath
+    DirectIndex.write(built, d)
+    val q0 = queries.find(q => DirectSearcher.open(d, numDocs).referenceTopK(q).nonEmpty).get
+    val r1 = DirectSearcher.open(d, numDocs).referenceTopK(q0)
+    assert(r1.nonEmpty)
+
+    // a rewrite attempt that died mid-stream: garbage shard files in an
+    // uncommitted generation dir, pointer never moved
+    val crashed = new java.io.File(d, "index-gen-99999999999999-42")
+    crashed.mkdirs()
+    java.nio.file.Files.write(crashed.toPath.resolve("blocks-0.bin"), Array[Byte](1, 2, 3))
+    assert(DirectSearcher.open(d, numDocs).referenceTopK(q0) == r1,
+      "crashed rewrite attempt must not affect the committed generation")
+
+    // a successful rewrite swaps the pointer atomically and GCs both the
+    // superseded generation and the crashed attempt's garbage
+    DirectIndex.write(built, d)
+    assert(DirectSearcher.open(d, numDocs).referenceTopK(q0) == r1)
+    assert(!crashed.exists(), "uncommitted garbage generation survived the rewrite GC")
+    val gens = new java.io.File(d).listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("index-gen-"))
+    assert(gens.length == 1, s"expected exactly one live generation, got ${gens.map(_.getName).toSeq}")
+  }
+
   test("concurrent queries on one open searcher match serial results") {
     // a serving tier is multithreaded: race a COLD searcher's lazy caches
     // (shard mmap, per-shard dl decode, per-term block fetch) from many
