@@ -232,7 +232,14 @@ object IndexBuild {
     * streaming ingest: dense url-ordered doc ids via partition offsets, then
     * the standard impact-ordered block/dictionary/docs pipeline.
     * `openVocabulary = true` drops the term-dictionary encoding (no distinct-
-    * term collect anywhere) for corpora whose vocabulary is unbounded. */
+    * term collect anywhere) for corpora whose vocabulary is unbounded.
+    *
+    * PRECONDITION: at most one row per (url, term). Duplicate postings for
+    * one doc (a url tokenized twice — e.g. a re-crawl merged without
+    * versioning) either fail the varbyte strictly-ascending-ids check or
+    * silently double-count df/dl. Callers that can see re-crawls must
+    * resolve them first — [[graft.streaming.StreamIngest.mergeStreamed]]
+    * filters each url to its latest micro-batch before this tail. */
   def fromUrlTermTf(spark: SparkSession, seg: org.apache.spark.sql.DataFrame,
                     parts: Int, blockSize: Int = DefaultBlockSize,
                     openVocabulary: Boolean = false): BuiltIndex = {

@@ -75,16 +75,25 @@ object QueryOps {
     } catch { case _: Exception => 2 }
 
   /** (skip ids, throw ids) — one narrow scan over the docs table; both sets
-    * are tiny on any real corpus (see class doc). */
+    * are tiny on any real corpus (see class doc). MEMOIZED per BuiltIndex
+    * instance (weak keys): the sets depend only on the index, so repeated
+    * single-query or replay calls over one index must not re-scan docs. */
+  private val hygieneCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[BuiltIndex, (Set[Long], Set[Long])]())
+
   private def hygieneSets(built: BuiltIndex): (Set[Long], Set[Long]) = {
+    val cached = hygieneCache.get(built)
+    if (cached != null) return cached
     val spark = built.docs.sparkSession
     import spark.implicits._
     val flagged = built.docs
       .map(d => (d.doc_id, classifyUrl(d.url)))
       .filter(_._2 != 0)
       .collect()
-    (flagged.collect { case (id, 1) => id }.toSet,
-     flagged.collect { case (id, 2) => id }.toSet)
+    val v = (flagged.collect { case (id, 1) => id }.toSet,
+             flagged.collect { case (id, 2) => id }.toSet)
+    hygieneCache.put(built, v)
+    v
   }
 
   /** SINGLE-query reference scorer as a Dataset job — a batch of one.
@@ -133,9 +142,21 @@ object QueryOps {
     val live = weights.filter { case (_, t, _, _) => idfOf(t) != 0.0 }
     if (live.isEmpty) return emptyResult
     val liveTerms = live.map(_._2).distinct
+    // the single copy of the rank-identity-critical idf/max_tf per term —
+    // the walk consumes exactly these (no second int-division site)
+    val termStats = liveTerms.flatMap(t =>
+      dict.get(t).map(d => t -> (idfOf(t), d.max_tf))).toMap
 
     val (skipIds, throwIds) = hygieneSets(built)
-    val postings = walkTermPostings(spark, built, liveTerms, dict, n, skipIds, throwIds)
+    // the walk's output is CAP-BOUNDED (≤ 200 clean postings per live term),
+    // so it is materialized ONCE here — both the touched-id set and the
+    // downstream joins reuse the result instead of executing the expensive
+    // block-decode pipeline twice (collect job + final query)
+    val walked = walkTermPostings(spark, built, liveTerms, termStats, skipIds, throwIds)
+      .as[(String, Long, Int, Double)].collect()
+    if (walked.isEmpty) return emptyResult
+    val postings = spark.createDataset(walked.toIndexedSeq)
+      .toDF("term", "doc_id", "rank", "base")
 
     // fan each term's walked postings out to its queries; the expansion
     // table is always tiny (queries × terms rows)
@@ -145,8 +166,7 @@ object QueryOps {
         ($"base" * $"factor").as("s"))
 
     // urls for the capped id set (≤ 200 × live terms, shared across queries)
-    val ids = postings.select($"doc_id").distinct().as[Long].collect()
-    if (ids.isEmpty) return emptyResult
+    val ids = walked.map(_._2).distinct
     // total function: throwing urls decode to null (their docs never appear
     // in the walk output, so they never match the join — but the full-docs
     // branch maps EVERY row and must not fail on them)
@@ -195,15 +215,10 @@ object QueryOps {
     * per query). */
   private def walkTermPostings(spark: SparkSession, built: BuiltIndex,
                                terms: Seq[String],
-                               dict: Map[String, graft.index.DictEntry],
-                               n: Int, skipIds: Set[Long],
+                               termStats: Map[String, (Double, Int)],
+                               skipIds: Set[Long],
                                throwIds: Set[Long]): DataFrame = {
     import spark.implicits._
-    val termStats = terms.flatMap { t =>
-      dict.get(t).map { d =>
-        t -> (math.log((n / d.df).toDouble) / math.log(500.0), d.max_tf)
-      }
-    }.toMap
     val statsB = spark.sparkContext.broadcast(termStats)
     val skipB = spark.sparkContext.broadcast(skipIds)
     val throwB = spark.sparkContext.broadcast(throwIds)

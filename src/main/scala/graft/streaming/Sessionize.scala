@@ -17,6 +17,15 @@ final case class SessionOut(user_id: Long, session_start: Timestamp,
   * like the batch twin's `cast(ts as long)`. */
 final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
 
+/** [[Sessionize.streamingWithTimeout]] state: the open session plus the
+  * buffer of events still inside the out-of-orderness window (ts ≥
+  * watermark — a later-arriving event may still precede them, so they are
+  * not folded until the watermark passes; state size ∝ events in flight
+  * within the watermark delay, the standard bound for event-time
+  * reordering). Events as (event_id, epochMicros, value). */
+final case class SessionBufState(open: Option[SessionState],
+                                 buf: List[(Long, Long, Double)])
+
 /** Gap-based sessionization of the events stream — the canonical custom-
   * state streaming operator (builder-prompt §2.9: KeyValueGroupedDataset +
   * flatMapGroupsWithState), with a batch twin whose window-function plan is
@@ -89,9 +98,15 @@ object Sessionize {
     * an idle user's trailing session flushes once the watermark passes
     * `session_end + gap` — no sentinel event needed (the round-2 gap: with
     * NoTimeout, idle users' last sessions were never emitted). Closed-
-    * session output is identical to [[streaming]]/[[batch]]; the timeout
-    * only ADDS the flush of open sessions. `events` must carry an event-
-    * time column `ts`; `delay` is the out-of-orderness bound. */
+    * session output is identical to [[batch]] over the watermark-admitted
+    * event set. `events` must carry an event-time column `ts`; `delay` is
+    * the out-of-orderness bound.
+    *
+    * Out-of-order correctness: an event is folded into the session walk
+    * only once the watermark passes it (no admissible event can precede it
+    * anymore); newer events wait in [[SessionBufState]]'s buffer. Folding
+    * eagerly instead would let a late-but-admitted event rewind an open
+    * session's end and split/flush it with corrupt bounds. */
   def streamingWithTimeout(events: DataFrame, gapSec: Long,
                            delay: String = "0 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
@@ -107,28 +122,51 @@ object Sessionize {
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
-         st: GroupState[SessionState]) =>
-          if (st.hasTimedOut) {
-            // watermark passed end+gap with no newer event: flush the idle
-            // session — exactly what a later event's gap would have done
-            val out = st.getOption.map(s => emit(uid, s)).iterator
-            st.remove()
-            out
-          } else {
-            val out = foldEvents(uid,
-              it.map(e => (e._1,
-                e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L, e._4)),
-              st, gapSec)
-            st.getOption.foreach { s =>
-              // flush deadline: first instant whose floor-second gap from
-              // session_end EXCEEDS gapSec (the batch rule's complement);
-              // must stay above the current watermark or Spark rejects it
-              val deadline =
-                (Math.floorDiv(s.endUs, 1000000L) + gapSec + 1L) * 1000L
-              st.setTimeoutTimestamp(math.max(deadline, st.getCurrentWatermarkMs() + 1L))
+         st: GroupState[SessionBufState]) =>
+          val wmMs = st.getCurrentWatermarkMs()
+          val prior = st.getOption.getOrElse(SessionBufState(None, Nil))
+          val incoming = it.map(e =>
+            (e._1, e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L, e._4))
+          // RIPE events (ts strictly below the watermark) can no longer be
+          // preceded by an admissible arrival — fold them in ts order;
+          // everything else stays buffered until a later watermark
+          val (ripe, hold) = (prior.buf.iterator ++ incoming).toIndexedSeq
+            .partition(e => e._2 / 1000L < wmMs)
+          val out = IndexedSeq.newBuilder[SessionOut]
+          var cur = prior.open.orNull
+          for ((_, us, v) <- ripe.sortBy(e => (e._2, e._1))) {
+            val sec = Math.floorDiv(us, 1000000L)
+            if (cur != null && sec - Math.floorDiv(cur.endUs, 1000000L) > gapSec) {
+              out += emit(uid, cur)
+              cur = null
             }
-            out
+            cur =
+              if (cur == null) SessionState(us, us, 1L, v)
+              else cur.copy(endUs = us, n = cur.n + 1, sum = cur.sum + v)
           }
+          // watermark flush: no admissible event (ts ≥ watermark) can merge
+          // once floor-sec(watermark) exceeds session_end + gap — exactly
+          // what a later event's gap would have proven
+          if (cur != null &&
+              Math.floorDiv(wmMs, 1000L) > Math.floorDiv(cur.endUs, 1000000L) + gapSec) {
+            out += emit(uid, cur)
+            cur = null
+          }
+          if (cur == null && hold.isEmpty) st.remove()
+          else {
+            st.update(SessionBufState(Option(cur), hold.toList))
+            // wake when the open session's flush deadline passes OR when the
+            // earliest buffered event ripens, whichever first; must stay
+            // above the current watermark or Spark rejects it
+            val openDeadline =
+              if (cur == null) Long.MaxValue
+              else (Math.floorDiv(cur.endUs, 1000000L) + gapSec + 1L) * 1000L
+            val bufDeadline =
+              if (hold.isEmpty) Long.MaxValue
+              else hold.map(_._2 / 1000L).min + 1L
+            st.setTimeoutTimestamp(math.max(math.min(openDeadline, bufDeadline), wmMs + 1L))
+          }
+          out.result().iterator
       }
   }
 

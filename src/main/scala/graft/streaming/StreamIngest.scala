@@ -77,10 +77,22 @@ object StreamIngest {
   }
 
   /** Global merge over streamed segments → a searchable index (same shared
-    * tail as SegmentedIndex.merge, reading the stream's segment files). */
+    * tail as SegmentedIndex.merge, reading the stream's segment files).
+    *
+    * LAST WRITE WINS per url: a page re-crawled in a later micro-batch
+    * replaces its earlier tokenization. Without this, duplicate (url, term)
+    * postings reach the build tail — two postings for one doc_id in a term
+    * run, which either dies in the varbyte ascending-ids check or silently
+    * double-counts df/dl. The `batch=<id>` partition column from the
+    * segment layout is the version; one url-keyed shuffle filters each url
+    * to its latest batch before the shared tail (no-op cost when nothing
+    * was re-crawled beyond the shuffle itself — an offline merge step). */
   def mergeStreamed(spark: SparkSession, segmentsDir: String, parts: Int = 8,
                     blockSize: Int = graft.index.IndexBuild.DefaultBlockSize): graft.index.BuiltIndex = {
-    val seg = spark.read.parquet(segmentsDir).select("url", "term", "tf")
+    val raw = spark.read.parquet(segmentsDir)
+      .select(col("url"), col("term"), col("tf"), col("batch").cast("long").as("batch"))
+    val latest = raw.groupBy(col("url")).agg(max(col("batch")).as("batch"))
+    val seg = raw.join(latest, Seq("url", "batch")).select("url", "term", "tf")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     graft.index.IndexBuild.fromUrlTermTf(spark, seg, parts, blockSize)
   }

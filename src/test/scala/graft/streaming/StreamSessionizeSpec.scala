@@ -78,6 +78,39 @@ class StreamSessionizeSpec extends AnyFunSuite {
     assert(streamed.groupBy(_._1).exists(_._2.size > 1))
   }
 
+  test("late-but-admitted events merge with batch-identical bounds (out-of-order stream)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 5L
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.streamingWithTimeout(events, gap, delay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      // in-order events at 100s and 105s
+      mem.addData((1L, t(100000L), 1L, 1.0), (2L, t(105000L), 1L, 2.0))
+      q.processAllAvailable()
+      // a LATE event at 98s — inside the 10s out-of-orderness bound; batch
+      // semantics put it in the SAME session (sorted gaps 2s, 5s ≤ gap)
+      mem.addData((3L, t(98000L), 1L, 4.0))
+      q.processAllAvailable()
+      // a far event closes the session once everything below ripens
+      mem.addData((4L, t(200000L), 1L, 8.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout batch after the watermark advance
+      val rows = spark.sql("SELECT * FROM sessions_ooo").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSet
+      // the closed session spans 98s..105s with all three events — an eager
+      // fold would have rewound session_end to 98s and split it
+      assert(rows == Set((1L, 98000L, 105000L, 3L, 7.0)),
+        s"expected the late event merged batch-identically, got $rows")
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout flushes idle trailing sessions without a sentinel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
