@@ -75,15 +75,9 @@ object IndexBuild {
     * ⇒ the per-term top-200 serving path decodes exactly one block. */
   val DefaultBlockSize = 4096
 
-  /** FNV-1a 64-bit url hash for the primitive-triple fast path (same
-    * algorithm as PageRank's hashed node ids; collision-checked). */
-  private[index] def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  /** FNV-1a 64-bit url hash for the primitive-triple fast path
+    * (the shared [[graft.util.Fnv]] family; collision-checked). */
+  private[index] def fnv1a64(s: String): Long = graft.util.Fnv.hash64(s)
 
   /** The CLOSED term universe the tokenizer can emit, derived from the
     * lexicon alone (no data scan): body/boost tokens are either ≤3-digit

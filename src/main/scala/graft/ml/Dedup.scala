@@ -28,14 +28,16 @@ object Dedup {
   /** Exact dedup domain: content-hash groups with their cardinality.
     * `md5` is codegen'd and pushdown-friendly; at scale this is a pure
     * map-side-combined aggregation. */
-  def exactHashGroups(df: DataFrame, textCol: String): DataFrame =
+  def exactHashGroups(df: DataFrame, textCol: String,
+                      idCol: String = "doc_id"): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
 
   /** Survivors of exact dedup: the min-id representative per hash group. */
-  def exactDedup(df: DataFrame, textCol: String): DataFrame = {
-    val reps = exactHashGroups(df, textCol).select(col("keep_doc_id").as("doc_id"))
-    df.join(reps, Seq("doc_id"), "left_semi")
+  def exactDedup(df: DataFrame, textCol: String,
+                 idCol: String = "doc_id"): DataFrame = {
+    val reps = exactHashGroups(df, textCol, idCol).select(col("keep_doc_id").as(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
   }
 
   // ---------------------------------------------------------------- minhash
@@ -52,11 +54,15 @@ object Dedup {
   def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
     val sh = shingles(text, k)
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    // the affine family coefficients are constant per signature — hoist them
+    // out of the shingles x hashes loop (they were recomputed per cell)
+    val as = Array.tabulate(numHashes)(PortableHash.aOf)
+    val bs = Array.tabulate(numHashes)(PortableHash.bOf)
     for (s <- sh) {
       val base = PortableHash.h60(s) % PortableHash.P
       var i = 0
       while (i < numHashes) {
-        val h = (PortableHash.aOf(i) * base + PortableHash.bOf(i)) % PortableHash.P
+        val h = (as(i) * base + bs(i)) % PortableHash.P
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -70,6 +76,10 @@ object Dedup {
     * row per (doc, band). */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder would " +
+      "silently drop tail signature values and bands > numHashes would hash " +
+      "empty slices into one universal bucket")
     val rows = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
@@ -91,13 +101,22 @@ object Dedup {
       .filter(col("bucket_n") > maxBucket)
 
   /** Rows of `bucketed` whose bucket is within the cap (map-side-combined
-    * count + broadcast-friendly join back; no text moves). */
+    * count + broadcast-friendly join back; no text moves).
+    *
+    * `bucketed` is PERSISTED here: it feeds the size aggregation AND both
+    * sides of the caller's self-join — three non-identical subplans that
+    * exchange reuse cannot collapse, so without the cache the expensive
+    * per-doc signature map would run up to 3×. The cached rows are
+    * (id, bucket-key) only, never text (spills to disk past memory); a
+    * pipeline running many dedup passes in one session can
+    * `spark.catalog.clearCache()` between them. */
   private def capBuckets(bucketed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
-    val sizes = bucketed.groupBy(keyCols.map(col): _*)
+    val cached = bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cached.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    bucketed.join(sizes, keyCols)
+    cached.join(sizes, keyCols)
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
@@ -218,6 +237,9 @@ object Dedup {
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         val arr = v.toArray
+        require(arr.length == dim,
+          s"embedding dim ${arr.length} != configured dim $dim for id $id — " +
+          "a truncated dot product would silently degrade recall")
         (0 until pb.value.length).iterator.map { t =>
           var sig = 0L
           var p = 0

@@ -258,6 +258,12 @@ private[query] final class LongDoubleMap(expected: Long) {
     c
   }
   private var mask = capacity - 1
+  // Fibonacci hashing over the TOP log2(capacity) bits: the shift must track
+  // capacity — a fixed shift (the old `>>> 40`) caps home slots at 2^24, so
+  // past that capacity every key homed into the first 16M slots and the
+  // linear probe degenerated into one cluster at exactly the web scale this
+  // class exists for
+  private var shift = 64 - java.lang.Long.numberOfTrailingZeros(capacity.toLong)
   private var keys = new Array[Long](capacity)
   private var vals = new Array[Double](capacity)
   private var used = new Array[Boolean](capacity)
@@ -270,6 +276,7 @@ private[query] final class LongDoubleMap(expected: Long) {
         s"LongDoubleMap full at max capacity $MaxCapacity — accumulator set too large for one node")
     val oldKeys = keys; val oldVals = vals; val oldSlots = slots; val oldSize = size
     capacity <<= 1; mask = capacity - 1
+    shift = 64 - java.lang.Long.numberOfTrailingZeros(capacity.toLong)
     keys = new Array[Long](capacity)
     vals = new Array[Double](capacity)
     used = new Array[Boolean](capacity)
@@ -284,14 +291,14 @@ private[query] final class LongDoubleMap(expected: Long) {
   }
 
   private def insertFresh(id: Long, v: Double): Unit = {
-    var i = ((id * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+    var i = ((id * 0x9E3779B97F4A7C15L) >>> shift).toInt & mask
     while (used(i)) i = (i + 1) & mask
     used(i) = true; keys(i) = id; vals(i) = v; slots(size) = i; size += 1
   }
 
   /** Adds c to the accumulator for id; returns the new value. */
   def add(id: Long, c: Double): Double = {
-    var i = ((id * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+    var i = ((id * 0x9E3779B97F4A7C15L) >>> shift).toInt & mask
     while (used(i) && keys(i) != id) i = (i + 1) & mask
     if (!used(i)) {
       if ((size + 1) * 10L > capacity * 7L) { // 70% load → double + rehash

@@ -133,15 +133,9 @@ object PageRank {
               percent: Double = 0.8, maxIter: Int = 100): (Dataset[PageRankResult], Int) =
     run(spark, init(spark, pages), threshold, percent, maxIter)
 
-  /** FNV-1a 64-bit over UTF-8 bytes — the node-id hash for [[runHashed]]
-    * (stable across JVMs, dependency-free, same on driver and executors). */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  /** The node-id hash for [[runHashed]] — the shared [[graft.util.Fnv]]
+    * 64-bit FNV-1a family. */
+  def fnv1a64(s: String): Long = graft.util.Fnv.hash64(s)
 
   /** Same algebra as [[run]] with 64-bit-hashed node ids: the per-round
     * shuffle (the heavy op) carries 8-byte keys instead of url strings —
@@ -156,14 +150,23 @@ object PageRank {
                 checkpointDir: Option[String] = None): (Dataset[PageRankResult], Int) = {
     import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    val ids = state0.map(s => (fnv1a64(s.url), s.url)).toDF("id", "url")
+    // persisted: the id map, the collision check, and the hashed-state
+    // derivation below all read it — without the cache the whole upstream
+    // init pipeline (page scan, link extraction) executes once per consumer
+    val src = state0.persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = src.map(s => (fnv1a64(s.url), s.url)).toDF("id", "url")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = ids.count()
-    val nIds = ids.select("id").distinct().count()
-    require(nIds == nNodes,
-      s"fnv1a64 node-id collision: $nNodes urls -> $nIds ids; use 128-bit ids at this scale")
+    // collision check covers NODES AND LINK TARGETS: a dangling target that
+    // collides with a node would silently inject mass every iteration (the
+    // string-keyed run() drops it via the inner join), so the loud-failure
+    // guarantee must hold over every url whose hash enters the shuffle
+    val allUrls = src.flatMap(s => Iterator.single(s.url) ++ s.links.iterator).distinct()
+    val nUrls = allUrls.count()
+    val nIds = allUrls.map(fnv1a64).distinct().count()
+    require(nIds == nUrls,
+      s"fnv1a64 id collision: $nUrls urls -> $nIds ids; use 128-bit ids at this scale")
 
-    var state = state0
+    var state = src
       .map(s => HashedRankState(fnv1a64(s.url), s.rank, s.prev, s.links.map(fnv1a64).toArray))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cnt = 0
@@ -201,6 +204,7 @@ object PageRank {
       state = next
       converged = total == 0 || achieved.toDouble / total >= percent
     }
+    src.unpersist()
     val out = state.toDF("id", "rank", "prev", "links")
       .join(ids, Seq("id"))
       .select($"url", $"rank").as[PageRankResult]

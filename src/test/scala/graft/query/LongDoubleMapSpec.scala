@@ -35,6 +35,29 @@ class LongDoubleMapSpec extends AnyFunSuite {
     assert(sum == (0 until n).map(_.toDouble + 1.0).sum)
   }
 
+  test("home slots track capacity growth (no clustering past the pre-size cap)") {
+    // regression: the home-slot hash used a FIXED '>>> 40' (24 bits of
+    // hash), so any capacity above 2^24 homed every key into the first 16M
+    // slots and the probe degenerated into one cluster. Growing well past
+    // the 2^20 eager-allocation cap with sequential-ish keys must stay fast
+    // and exact — a degenerate cluster would turn this loop quadratic.
+    val m = new LongDoubleMap(4L)
+    val n = 3000000 // capacity reaches 2^23: multiple shift recomputations
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) { m.add(i.toLong, 1.0); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(m.size == n)
+    // generous CI bound: the healthy path runs in well under a second;
+    // a clustered probe would take minutes
+    assert(sec < 30.0, s"insert pass took ${sec}s — probe clustering?")
+    var j = 0
+    while (j < n) {
+      assert(m.add(j.toLong, 1.0) == 2.0, s"key $j")
+      j += 1
+    }
+  }
+
   test("kthAndNext and collectAtLeast agree after resizes") {
     val m = new LongDoubleMap(2L)
     for (i <- 1 to 5000) m.add(i.toLong, i.toDouble)
