@@ -390,7 +390,7 @@ object SparkEntry {
     "q26_ann_ivf" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val cents = graft.ml.Ann.centroids(emb, "embedding", c = 8)
+      val cents = graft.ml.Ann.centroids(emb, "vec_id", "embedding", c = 8)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
       val assigned = graft.ml.Ann.ivfAssign(emb.filter(col("vec_id") > 0), "vec_id", "embedding", cents)

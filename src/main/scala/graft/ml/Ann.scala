@@ -25,17 +25,30 @@ object Ann {
     val qLit = typedLit(query)
     df.select(col(idCol),
         Dedup.cosineCol(col(vecCol).cast("array<double>"), qLit).as("cosine"))
+      // zero-norm vectors (or a zero-norm query) make cosine NaN, and Spark
+      // sorts NaN ABOVE every double — without this filter a padding vector
+      // would take rank 1; cosine is undefined there, so the row is excluded
+      .filter(!isnan(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
 
-  /** Deterministic centroids: the first C vectors refined by `iters` rounds
-    * of Lloyd assignment (fixed iteration count → deterministic, no RNG). */
-  def centroids(df: DataFrame, vecCol: String, c: Int, iters: Int = 3): Array[Array[Double]] = {
+  /** Deterministic centroids: the C vectors with the smallest ids, refined
+    * by `iters` rounds of Lloyd assignment (fixed iteration count, no RNG).
+    * Seeding MUST be id-ordered, not `take(c)` — take returns the first rows
+    * in physical scan order, which shifts with file layout/parallelism/AQE,
+    * and nondeterministic seeds silently desynchronize recomputed centroids
+    * from an already-written routing table. */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int,
+                iters: Int = 3): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: the seed take plus each Lloyd round re-reads the vectors
     val vecs = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
-    var cents = vecs.take(c).map(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = df.orderBy(col(idCol).asc)
+      .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+      .take(c).map(_.toArray)
     for (_ <- 1 to iters) {
       val cb = spark.sparkContext.broadcast(cents)
       val sums = vecs.map { v =>
@@ -50,6 +63,7 @@ object Ann {
       for ((ci, (s, n)) <- sums) next(ci) = s.map(_ / n)
       cents = next
     }
+    vecs.unpersist()
     cents
   }
 
@@ -99,7 +113,11 @@ object Ann {
     * only the nProbe centroid directories, so the scan fraction is
     * nProbe/C of the corpus regardless of total size. */
   def ivfWrite(assigned: DataFrame, dir: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("centroid").parquet(dir)
+    // one shuffle on centroid → one file per centroid dir instead of
+    // tasks x centroids small files (cap production file sizes with
+    // spark.sql.files.maxRecordsPerFile)
+    assigned.repartition(col("centroid"))
+      .write.mode("overwrite").partitionBy("centroid").parquet(dir)
 
   /** IVF query over the on-disk partitioned routing table. The centroid
     * In-filter is a partition filter (MlSpec asserts `PartitionFilters`

@@ -66,8 +66,10 @@ object Multimodal {
     spark.range(n).map { id =>
       val kind = if (id % 3 == 0) "audio" else "image"
       val media = fakeMedia(id, kind)
-      val (w, h, sr, _) = decodeStub(media)
-      MediaAsset(id, kind, media, w, h, sr)
+      // header ints only — running the full decodeStub feature loop here
+      // just to discard the features doubles the generator's cost
+      val bb = java.nio.ByteBuffer.wrap(media)
+      MediaAsset(id, kind, media, bb.getInt(4), bb.getInt(8), bb.getInt(12))
     }
   }
 
@@ -94,7 +96,8 @@ object Multimodal {
     val kind = bb.getInt(0); val ow = bb.getInt(4); val oh = bb.getInt(8)
     val sr = bb.getInt(12)
     val payload = media.drop(16)
-    val scaled = (payload.length.toLong * (w * h) / math.max(1, ow * oh)).toInt
+    // Long arithmetic: w*h overflows Int at ~46k x 46k (65536^2 == 0!)
+    val scaled = (payload.length.toLong * (w.toLong * h) / math.max(1L, ow.toLong * oh)).toInt
     val keep = math.min(math.max(1, scaled), payload.length)
     val out = java.nio.ByteBuffer.allocate(16 + keep)
     out.putInt(kind).putInt(w).putInt(h).putInt(sr)
@@ -115,6 +118,7 @@ object Multimodal {
     * returns one pseudo-frame row per strip (the Spark-side shape of
     * mapInPandas-style frame explosion: one input row → many frame rows). */
   def sampleFrames(assets: Dataset[MediaAsset], frames: Int): Dataset[(Long, Int, Array[Byte])] = {
+    require(frames > 0, s"frames must be positive, got $frames")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.flatMap { a =>
@@ -122,7 +126,10 @@ object Multimodal {
       val stride = math.max(1, payload.length / frames)
       (0 until frames).iterator.map { f =>
         val lo = math.min(f * stride, payload.length)
-        val hi = math.min(lo + stride, payload.length)
+        // the LAST strip takes the division remainder — every payload byte
+        // lands in exactly one frame (a real decoder must see the tail)
+        val hi = if (f == frames - 1) payload.length
+                 else math.min(lo + stride, payload.length)
         (a.asset_id, f, java.util.Arrays.copyOfRange(payload, lo, hi))
       }
     }

@@ -25,7 +25,9 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(bpeIsh), lit(0)))
 
   // --------------------------------------------------------------- quality
-  private val enStop = "\\b(the|and|of|to|in|is|was|for|on|that|with|as|it)\\b"
+  // derived from stopwords("en") below — ONE English stopword list; under
+  // \b anchors the alternation order is irrelevant to the match set
+  private lazy val enStop = stopwords("en").toSeq.sorted.mkString("\\b(", "|", ")\\b")
 
   def stopwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(enStop), lit(0)))
@@ -62,6 +64,7 @@ object TextAnalysis {
   /** N-gram/stopword-heuristic language ID; "und" (undetermined) when no
     * language scores. Pure function → deterministic narrow map. */
   def langIdOf(text: String): String = {
+    if (text == null) return "und" // Spark hands UDFs the raw null
     val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
     if (toks.isEmpty) return "und"
     val scores = stopwords.map { case (lang, sw) => lang -> toks.count(sw.contains) }
@@ -79,6 +82,7 @@ object TextAnalysis {
     * 64-bit document fingerprint (same token multiset in different order →
     * different print, unlike a bag-of-words hash). */
   def rollingFingerprint(text: String): Long = {
+    if (text == null) return 0L // null text -> empty-document fingerprint
     val B = 1000000007L
     var h = 0L
     for (tok <- text.trim.split("\\s+") if tok.nonEmpty)

@@ -84,7 +84,13 @@ final class LazySearcher(spark: SparkSession, dir: String, val n: Int,
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     }
 
-  /** Materialize the query's slice of the index as a regular [[Searcher]]. */
+  /** Materialize the query's slice of the index as a regular [[Searcher]].
+    * Known cost: the id-collection decode here and the scorer's own decode
+    * each walk the fetched blocks once (2× decode per query). Accepted:
+    * this tier's latency is dominated by its two Spark jobs (~10² ms
+    * scheduling floor, class doc), so the second in-memory decode is noise
+    * here — the interactive tier (DirectSearcher) is the one where decode
+    * cost shows, and it decodes lazily exactly once per touched block. */
   private def slice(query: String): Searcher = {
     val terms = expansionTerms(query)
     val blocks = fetchBlocks(terms)

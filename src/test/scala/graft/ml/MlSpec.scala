@@ -132,7 +132,7 @@ class MlSpec extends AnyFunSuite {
     val q = vecs.head._2.map(_.toDouble)
     val brute = Ann.bruteTopK(df.filter($"vec_id" > 0), "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSeq
-    val cents = Ann.centroids(df, "embedding", c = 4)
+    val cents = Ann.centroids(df, "vec_id", "embedding", c = 4)
     val assigned = Ann.ivfAssign(df.filter($"vec_id" > 0), "vec_id", "embedding", cents)
     val ivf = Ann.ivfTopK(assigned, "vec_id", q.toArray, cents, k = 10, nProbe = 2)
       .collect().map(_.getLong(0)).toSeq
@@ -152,7 +152,7 @@ class MlSpec extends AnyFunSuite {
     }
     val df = vecs.toDF("vec_id", "embedding")
     val q = vecs.head._2.map(_.toDouble).toArray
-    val cents = Ann.centroids(df, "embedding", c = 4)
+    val cents = Ann.centroids(df, "vec_id", "embedding", c = 4)
     val assigned = Ann.ivfAssign(df.filter($"vec_id" > 0), "vec_id", "embedding", cents)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     Ann.ivfWrite(assigned, dir)
