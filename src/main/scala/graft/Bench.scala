@@ -123,6 +123,12 @@ object Bench {
         pDirBm = p95(q => ds.bm25TopK(q, 10))
         System.err.println(f"[bench-child $cpus] direct tier: p95ref=$pDirRef%.1fms " +
           f"p95bm25=$pDirBm%.1fms bytes=${ds.bytesRead.get()}")
+        // the sidecar is bench-local scratch — a full index copy per hi rep
+        // would otherwise accumulate in /tmp across rounds
+        def rmAll(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+        }
+        rmAll(new java.io.File(dir))
       }
       (buildSec, pRef, pBm, nBlocks, pDirRef, pDirBm,
         Seq(planSec, blocksSec, docsSec, dictSec))
@@ -136,7 +142,9 @@ object Bench {
     val f = scala.io.Source.fromFile("/proc/stat")
     try {
       val cols = f.getLines().next().split("\\s+").drop(1).map(_.toLong)
-      (cols(7), cols.sum) // (steal, total)
+      // total excludes guest/guest_nice (cols 8-9): the kernel already folds
+      // guest time into user, so summing them would understate steal
+      (cols(7), cols.take(8).sum) // (steal, total)
     } finally f.close()
   }
 
@@ -182,6 +190,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON line is built with f-interpolators, which honor the default
+    // locale — a comma-decimal locale (de_DE, fr_FR, …) would emit
+    // {"build_sec":12,345} and break the driver's parser
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.length == 5 && args(0) == "--scaling-child") {
       val (b, pr, pb95, nb, pdr, pdb, stages) =
         scalingRun(args(1).toInt, args(2).toLong, args(3) == "1", args(4) == "1")
@@ -247,7 +259,10 @@ object Bench {
           val maxHi = pairs.map(_._2).max
           if (nCores > maxHi + 1) {
             val pid = ProcessHandle.current().pid()
-            new ProcessBuilder("taskset", "-cp", s"${nCores - 2}-${nCores - 1}",
+            // -a: move ALL the JVM's threads — without it sched_setaffinity
+            // hits only the main thread and the GC/daemon threads (the ones
+            // this pin exists for) keep stealing the child's cores
+            new ProcessBuilder("taskset", "-a", "-cp", s"${nCores - 2}-${nCores - 1}",
               pid.toString).inheritIO().start().waitFor()
           }
         } catch { case _: Exception => () } // best-effort; harmless if absent
@@ -292,6 +307,9 @@ object Bench {
           doRep(p._2, baseReps + extra)
         }
 
+        // a zero-budget/zero-reps configuration must not crash the whole
+        // bench after the query section already ran — emit scaling:null
+        if (runs.valuesIterator.flatten.isEmpty) "null" else {
         val bestPair = pairs.maxBy(eff)
         val (loC, hiC) = bestPair
         def minPos(xs: Seq[Double]): Double = {
@@ -323,11 +341,14 @@ object Bench {
           f""""pairs":$pairsJson,"scaling_pair":"$loC:$hiC",""" +
           f""""p95_direct_ref_ms":$pDirRef%.2f,"p95_direct_bm25_ms":$pDirBm%.2f,""" +
           f""""scaling_efficiency":${eff(bestPair)}%.3f}"""
+        }
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries carry the -1.0 marker in `queries`; they must not
+    // SHRINK the headline total (a crash would read as a speedup)
+    val total = results.values.filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
   }

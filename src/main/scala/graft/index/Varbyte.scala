@@ -1,6 +1,5 @@
 package graft.index
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Delta + variable-byte codec for posting blocks (north-star feature; the
   * reference has no compression — its posting "format" is a comma-packed
@@ -17,24 +16,37 @@ import scala.collection.mutable.ArrayBuffer
 object Varbyte {
 
   def encode(values: Array[Long]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](values.length * 2)
+    // two passes over a primitive array — an ArrayBuffer[Byte] would box
+    // every output byte (generic backing array) on the build's hot path
+    var total = 0
     var i = 0
     while (i < values.length) {
-      var v = values(i)
+      val v = values(i)
       require(v >= 0, s"varbyte requires non-negative values, got $v")
+      var tmp = v
+      var nBytes = 1
+      while (tmp >= 128) { tmp >>= 7; nBytes += 1 }
+      total += nBytes
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var pos = 0
+    i = 0
+    while (i < values.length) {
+      val v = values(i)
       // emit 7-bit groups little-endian-ish: compute byte count first
       var tmp = v
       var nBytes = 1
       while (tmp >= 128) { tmp >>= 7; nBytes += 1 }
       var shift = (nBytes - 1) * 7
       while (shift > 0) {
-        out += ((v >> shift) & 0x7F).toByte
+        out(pos) = ((v >> shift) & 0x7F).toByte; pos += 1
         shift -= 7
       }
-      out += ((v & 0x7F) | 0x80).toByte // high bit marks last byte
+      out(pos) = ((v & 0x7F) | 0x80).toByte; pos += 1 // high bit marks last byte
       i += 1
     }
-    out.toArray
+    out
   }
 
   def decode(bytes: Array[Byte], n: Int): Array[Long] = {
