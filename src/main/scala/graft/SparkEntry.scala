@@ -109,16 +109,11 @@ object SparkEntry {
     * stems appended, LinkedHashMap put-overwrite) → (term, factor, qidx).
     * Shared by the oracle-SQL generators so the SQL carries exactly the
     * weights the engine uses. */
-  private def refTermWeights(query: String): Seq[(String, Double, Int)] = {
-    val surface = graft.text.Text.parseQuery(query)
-    val expanded = surface.map(t => (t, false)) ++ surface.flatMap { t =>
-      val st = graft.text.PorterStemmer.stem(t)
-      if (st != t) Some((st, true)) else None
-    }
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for ((t, isStem) <- expanded if t.nonEmpty) m.put(t, if (isStem) 0.7 else 1.0)
-    m.toSeq.zipWithIndex.map { case ((t, f), i) => (t, f, i) }
-  }
+  private def refTermWeights(query: String): Seq[(String, Double, Int)] =
+    // the ONE expansion implementation (QueryOps.termWeights) — the single-
+    // query and batch oracle generators must draw identical semantics
+    graft.query.QueryOps.termWeights(query).zipWithIndex
+      .map { case ((t, f), i) => (t, f, i) }
 
   /** DuckDB SQL for the full reference scorer over a dumped triples table.
     * Every fractional literal is e-notation (DuckDB decimal-point literals
@@ -540,11 +535,10 @@ object SparkEntry {
       import s.implicits._
       val n = 1000
       dumpTriplesOnce(s, n)
-      val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
-      val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
-        graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-          .iterator.collect { case (t, tf) if t.length <= 100 => (p.url, t, tf) }
-      }.toDF("url", "term", "tf")
+      // the dumped triples ARE the corpus tokenization — read them back
+      // instead of re-tokenizing (one pass, and the open-vocab input is
+      // byte-identical to what the oracle reads)
+      val triples = s.read.parquet(s"${auxDir}/${triplesName(n)}")
       val built = graft.index.IndexBuild.fromUrlTermTf(s, triples,
         parts = searchParts(s), openVocabulary = true)
       val hits = graft.query.Searcher.fromIndex(built, n)
@@ -625,7 +619,10 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      // a timed-out stream must fail LOUDLY, not hand a partial memory sink
+      // to the oracle compare
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); throw new IllegalStateException("q42 streaming query timed out after 300s") }
       // emit the batch twin's exact parquet types (source is TimestampNTZ;
       // session timezone is UTC, so the cast is value-preserving)
       s.table(name).select(c("user_id"),

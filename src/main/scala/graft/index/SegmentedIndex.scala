@@ -58,8 +58,12 @@ object SegmentedIndex {
         pages
           .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
           .filter(col("bucket").isin(wanted.toSeq: _*))
-          .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
-          .flatMap { case (url, _, html, _, _, bucket) =>
+          // project BEFORE the typed map: decoding the full Page row would
+          // also materialize `text` (≈ html-sized) per page in the tokenize
+          // hot path, and positional tuple binding is fragile to field order
+          .select(col("url"), col("html"), col("bucket"))
+          .as[(String, Array[Byte], Int)]
+          .flatMap { case (url, html, bucket) =>
             graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
               .iterator.collect {
                 case (term, tf) if term.length <= 100 => (bucket, url, term, tf)

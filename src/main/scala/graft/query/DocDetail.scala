@@ -37,7 +37,8 @@ object DocDetail {
   def pageInfo(url: String, page: Option[String]): Map[String, String] = {
     val base = Map("url" -> url, "title" -> url,
       "abstract" -> "No Information Available")
-    page.filter(_.nonEmpty) match {
+    // flatMap(Option(_)): a nullable html cell arrives as Some(null)
+    page.flatMap(Option(_)).filter(_.nonEmpty) match {
       case None => base
       case Some(p) =>
         val t = getTitle(p)

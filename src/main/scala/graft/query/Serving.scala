@@ -24,14 +24,15 @@ object Serving {
     * deterministic for this fixed key set). Quirk preserved: the extracted
     * title lands under "abstract", "title" stays the url. */
   def pageInfoJson(url: String, page: Option[String]): String = {
+    // ONE copy of the info-map rules: values come from DocDetail.pageInfo
+    // (null-safe, quirk-preserving); this function only contributes the
+    // reference's java.util.HashMap INSERTION SEQUENCE, whose iteration
+    // order the Backend serializes
+    val info = DocDetail.pageInfo(url, page)
     val m = new java.util.HashMap[String, String]()
-    m.put("url", url)
-    m.put("title", url)
-    m.put("abstract", "No Information Available")
-    page.filter(_.nonEmpty).foreach { p =>
-      val t = DocDetail.getTitle(p)
-      if (t != null && t.nonEmpty) m.put("abstract", t)
-    }
+    m.put("url", info("url"))
+    m.put("title", info("title"))
+    m.put("abstract", info("abstract"))
     val sb = new StringBuilder("{")
     var first = true
     val it = m.entrySet().iterator()
@@ -71,10 +72,24 @@ object Serving {
     * the reference's null-row branch. */
   def detailJson(spark: SparkSession, pagesDir: String, url: String): String = {
     val key = RefHasher.hash(url)
-    val row = pagesTable(spark, pagesDir)
-      .filter(col("key") === key)
-      .select(col("html"))
-      .collect().headOption
-    pageInfoJson(url, row.map(_.getString(0)))
+    def fetch(): Option[String] =
+      pagesTable(spark, pagesDir)
+        .filter(col("key") === key)
+        .select(col("html"))
+        .collect().headOption.map(_.getString(0))
+    val row =
+      try fetch()
+      catch {
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null && e.getMessage.contains("FileNotFound") =>
+          // the pages table was republished under this dir (new part files):
+          // drop the stale resolved listing and retry once
+          pagesCache.remove((spark.sparkContext.applicationId, pagesDir))
+          fetch()
+        case _: java.io.FileNotFoundException =>
+          pagesCache.remove((spark.sparkContext.applicationId, pagesDir))
+          fetch()
+      }
+    pageInfoJson(url, row)
   }
 }

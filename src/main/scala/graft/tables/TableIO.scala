@@ -73,7 +73,7 @@ object TableIO {
                              partitions: Map[String, String],
                              knownRows: Map[(String, String), Long] = Map.empty): Unit = {
     val dataDir = Paths.get(dir, "data", s"snap-$snapId")
-    val files = listParquet(dataDir).map { p =>
+    val dataFiles = listParquet(dataDir).map { p =>
       val rel = Paths.get(dir).relativize(p).toString
       val part = partitionCol.map { c =>
         p.getParent.getFileName.toString.stripPrefix(s"$c=")
@@ -82,6 +82,13 @@ object TableIO {
       // recorded row counts — only freshly written files get a footer read
       val rows = knownRows.getOrElse((part, p.getFileName.toString), rowCount(p))
       FileEntry(rel, rows, part, partitions.getOrElse(part, ""))
+    }
+    // partitions with ZERO data files still carry lineage (path "" marks the
+    // synthetic row; read() skips it) — otherwise an empty bucket's
+    // fingerprint is never persisted and resume rebuilds it every run
+    val present = dataFiles.map(_.partition).toSet
+    val files = dataFiles ++ partitions.collect {
+      case (p, fp) if !present.contains(p) => FileEntry("", 0L, p, fp)
     }
     val meta = metaDir(dir)
     Files.createDirectories(meta)
@@ -128,7 +135,9 @@ object TableIO {
     * recorded schema rather than Spark's zero-path inference error. */
   def read(spark: SparkSession, dir: String,
            snapshotId: Option[Long] = None): DataFrame = {
-    val files = manifest(spark, dir, snapshotId).map(f => s"$dir/${f.path}")
+    val files = manifest(spark, dir, snapshotId)
+      .filter(_.path.nonEmpty) // skip synthetic empty-partition lineage rows
+      .map(f => s"$dir/${f.path}")
     if (files.nonEmpty) spark.read.parquet(files: _*)
     else {
       val snap = snapshotId.orElse(currentSnapshotId(dir)).get
@@ -193,8 +202,9 @@ object TableIO {
         .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(dataDir.toString)
     }
-    // carry over unchanged partitions from the parent snapshot via hard links
-    val carried = parentManifest.filter(f => reuse.contains(f.partition))
+    // carry over unchanged partitions from the parent snapshot via hard
+    // links (synthetic empty-partition rows have no file to link)
+    val carried = parentManifest.filter(f => reuse.contains(f.partition) && f.path.nonEmpty)
     for (f <- carried) {
       val src = Paths.get(dir, f.path)
       val dstDir = dataDir.resolve(s"$partitionCol=${f.partition}")

@@ -85,6 +85,21 @@ class SegmentedIndexSpec extends AnyFunSuite {
            TableIO.snapshotMeta(spark, dir, r2.snapshotId).get.schema_ddl)
   }
 
+  test("empty buckets carry lineage: a rerun reuses ALL buckets, including empty ones") {
+    // 5 pages over 16 buckets leaves most buckets empty; an empty bucket
+    // writes no data file, so its fingerprint must be carried as a
+    // synthetic manifest row or every rerun reports it rebuilt
+    val dir = Files.createTempDirectory("segidx-empty").toString
+    val pages = Corpus.generate(spark, 5)
+    val r1 = SegmentedIndex.buildSegments(spark, pages, Corpus.lexicon, dir, buckets = 16)
+    assert(r1.rebuilt.size == 16 && r1.reused.isEmpty)
+    val r2 = SegmentedIndex.buildSegments(spark, pages, Corpus.lexicon, dir, buckets = 16)
+    assert(r2.rebuilt.isEmpty && r2.reused.size == 16,
+      s"empty buckets must reuse like any clean bucket, got $r2")
+    val built = SegmentedIndex.merge(spark, dir, parts = 2, blockSize = 64)
+    assert(built.docs.count() == 5)
+  }
+
   test("resume after a crashed uncommitted write attempt does not double-count rows") {
     val dir = Files.createTempDirectory("segidx-crash").toString
     val pages = Corpus.generate(spark, 120)
