@@ -29,8 +29,13 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal only: an OOM must abort the run, not leave a memory-
+        // exhausted JVM mislabeling every later query as failed. Full stack
+        // trace — getMessage alone is often null and drops the cause chain.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: $e")
+          e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -115,7 +115,14 @@ final class Searcher(val n: Int,
             }
             bi += 1
           }
-        } catch { case _: Exception => return IndexedSeq.empty } // Backend.java:309-313
+        } catch {
+          case e: Exception => // Backend.java:309-313 (empty term on throw);
+            // the reference at least printStackTrace()s — stay observable so
+            // a corrupt block / bad doc id is distinguishable from the
+            // legitimate malformed-%-escape case and from a no-hit term
+            System.err.println(s"[searcher] term '$term' emptied by $e")
+            return IndexedSeq.empty
+        }
         out.toIndexedSeq
     }
   }

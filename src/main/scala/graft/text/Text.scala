@@ -29,17 +29,25 @@ import scala.collection.mutable
   */
 object Text {
 
+  // PRECOMPILED patterns: String.replaceAll/split call Pattern.compile on
+  // every invocation, and these run several times per page inside the
+  // build's hottest loop (tokenize). Pattern.matcher(..).replaceAll and
+  // Pattern.split(s) are what String delegates to — output byte-identical
+  // (golden-pinned).
+  private val TagP = Pattern.compile("<.*?>")
+  /** Reference punctuation class (jobs/Indexer.java:53; note U+2019 ’). */
+  private val PunctP = Pattern.compile("[\t\r\n.,:;!?’'\"()-]")
+  private val SpacesP = Pattern.compile(" +")
+  private val QuerySplitP = Pattern.compile("[^a-zA-Z0-9]")
+
   /** Reference extractor: non-greedy tag strip, no entity decoding.
     * Byte-identity invariant vs reference jobs/Indexer.java:52. */
-  def extractText(html: String): String = html.replaceAll("<.*?>", " ")
+  def extractText(html: String): String = TagP.matcher(html).replaceAll(" ")
 
-  /** Reference punctuation class (jobs/Indexer.java:53; note U+2019 ’). */
-  private val PunctRe = "[\t\r\n.,:;!?’'\"()-]"
-
-  def stripPunct(s: String): String = s.replaceAll(PunctRe, " ")
+  def stripPunct(s: String): String = PunctP.matcher(s).replaceAll(" ")
 
   /** Java `trim().split(" +")`: "" input → Array(""). */
-  def splitWords(s: String): Array[String] = s.trim.split(" +")
+  def splitWords(s: String): Array[String] = SpacesP.split(s.trim)
 
   def isPureAscii(v: String): Boolean = {
     var i = 0
@@ -128,5 +136,5 @@ object Text {
   /** Query parse: trim, lowercase, split on non-alphanumeric, drop empties
     * (backend/Backend.java:169-186). */
   def parseQuery(query: String): Seq[String] =
-    query.trim.toLowerCase.split("[^a-zA-Z0-9]").toIndexedSeq.filter(_.nonEmpty)
+    QuerySplitP.split(query.trim.toLowerCase).toIndexedSeq.filter(_.nonEmpty)
 }
