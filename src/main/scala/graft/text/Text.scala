@@ -88,6 +88,16 @@ object Text {
   private val boostPatterns: Seq[(Pattern, Int)] =
     BoostTags.map { case (tag, w) => Pattern.compile("<" + tag + ">(.*?)</" + tag + ">") -> w }
 
+  /** Stems are requested once per token OCCURRENCE in the build's hottest
+    * loop, but every stemmed token has already passed the ASCII +
+    * number-or-lexicon filter — a BOUNDED universe (lexicon ∪ ≤3-digit
+    * numbers ∪ ""), so the full Porter machine runs once per distinct
+    * token per JVM and every repeat is a hash lookup. Pure function ⇒
+    * byte-identical output (golden-pinned). */
+  private val stemCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stemOf(w: String): String =
+    stemCache.computeIfAbsent(w, PorterStemmer.stem(_))
+
   /** Term → boosted count for one page, replicating the reference order:
     * urlHit, then titleHit, then body tokens (jobs/Indexer.java:48-72). */
   def termCounts(url: String, page: String, lexicon: Set[String]): mutable.HashMap[String, Int] = {
@@ -106,7 +116,7 @@ object Text {
       val w = words(i).toLowerCase
       if (isPureAscii(w) && (isValidNumber(w) || (isValidWord(w) && lexicon.contains(w)))) {
         counts.update(w, counts.getOrElse(w, 0) + 1)
-        val stem = PorterStemmer.stem(w)
+        val stem = stemOf(w)
         if (stem != w) counts.update(stem, counts.getOrElse(stem, 0) + 1)
       }
       i += 1
@@ -126,7 +136,7 @@ object Text {
           isPureAscii(w) && isValidWord(w) && lexicon.contains(w)) {
         val occ = counts.getOrElse(w, 0)
         counts.update(w, occ + weight)
-        val stem = PorterStemmer.stem(w)
+        val stem = stemOf(w)
         if (stem != w) counts.update(stem, occ + weight)
       }
       i += 1
