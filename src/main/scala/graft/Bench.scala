@@ -230,10 +230,14 @@ object Bench {
     val scalingJson =
       if (sys.env.get("SPARK_GRAFT_NO_SCALING").contains("1")) "null"
       else {
-        // 360k docs (was 240k): longer measured regions average contention
-        // noise and shrink the fixed per-build overhead fraction, which is
-        // proportionally larger at the high level
-        val numDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "360000").toLong
+        // 500k docs (was 360k, before that 240k): the tokenize-path perf
+        // work roughly DOUBLED build throughput, shrinking hi-level runs to
+        // ~10 s — short runs are the noisy ones. Longer measured regions
+        // average contention noise and shrink the fixed per-build overhead
+        // fraction, which is proportionally larger at the high level; 500k
+        // keeps the full two-pair interleave inside the section budget at
+        // current throughput.
+        val numDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "500000").toLong
         // Pairs: (2,8) stays inside this host's memory-bandwidth envelope
         // (the box saturates around 16 threads — pure-compute probe: 8→32
         // yields only 1.8×; a real cluster adds memory controllers and
