@@ -17,13 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bit-compatible with the previous implementation and with DuckDB's
   * list_cosine_similarity on the same doubles.
   *
-  * Semantics: per-element over the common prefix (inputs are fixed-dim
-  * embedding columns, so lengths always match); null array → null; a NULL
-  * ELEMENT → null (the composed column's aggregate-over-zip_with also
-  * nulls out — the element checks are only emitted when the input types
-  * say `containsNull`, so provably non-null arrays keep the branch-free
-  * hot loop); zero norm → NaN (0/0), matching the composed-column
-  * behavior.
+  * Semantics: null array → null; LENGTH MISMATCH → null (a truncated/
+  * corrupt embedding must not produce a plausible prefix cosine that can
+  * cross a dup threshold — the composed aggregate/zip_with column also
+  * nulled out, and DuckDB's list_cosine_similarity errors); a NULL ELEMENT
+  * → null (checks only emitted when the input types say `containsNull`, so
+  * provably non-null arrays keep the branch-free hot loop); zero norm →
+  * NaN (0/0), matching the composed-column behavior.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,8 +33,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => true
   }
 
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elementsNullable
+  // always nullable: a runtime LENGTH MISMATCH yields null regardless of
+  // what the static types promise
+  override def nullable: Boolean = true
 
   // strict array<double> inputs (no implicit cast injection — callers cast,
   // as every call site already does for float embeddings); null in → null
@@ -59,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var n1 = 0.0; var n2 = 0.0
     var i = 0
     if (elementsNullable) {
@@ -97,18 +99,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
         else ""
       val assign =
         s"${ev.value} = $dot / (java.lang.Math.sqrt($n1) * java.lang.Math.sqrt($n2));"
-      val guardedAssign =
-        if (elementsNullable) s"if (!${ev.isNull}) { $assign }" else assign
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $n1 = 0.0; double $n2 = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $n1 += $xi * $xi; $n2 += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $n1 = 0.0; double $n2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $n1 += $xi * $xi; $n2 += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) { $assign }
          |}
-         |$guardedAssign
        """.stripMargin
     })
 

@@ -36,7 +36,12 @@ object StreamIngest {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
       .writeStream
-      .outputMode("complete")
+      // UPDATE, not complete: under complete mode a watermark is a no-op —
+      // late data is never dropped and every window group is retained (and
+      // re-emitted) forever, so a long-lived stream leaks state without
+      // bound. Update mode lets the watermark evict finalized windows; a
+      // one-shot AvailableNow replay emits each group once either way.
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -62,7 +67,18 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark2 = batch.sparkSession
         import spark2.implicits._
-        batch.select("url", "html").as[(String, Array[Byte])]
+        // ONE page per url per batch, picked DETERMINISTICALLY (latest
+        // warc_ts, content hash as tie-break): a url crawled twice inside
+        // one trigger would otherwise emit duplicate (url, term) postings —
+        // which violate fromUrlTermTf's precondition — and an arbitrary
+        // dropDuplicates pick would break the idempotent-rewrite guarantee
+        // this sink relies on for exactly-once
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+          .orderBy(col("warc_ts").desc, md5(col("html")).desc)
+        val pages = batch
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+          .persist()
+        pages.select("url", "html").as[(String, Array[Byte])]
           .flatMap { case (url, html) =>
             graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
               .iterator.collect {
@@ -72,6 +88,15 @@ object StreamIngest {
           .toDF("url", "term", "tf")
           .write.mode("overwrite") // idempotent per-batch path
           .parquet(s"$segmentsDir/batch=$batchId")
+        // per-url batch MARKER, independent of how many postings tokenize
+        // emitted: a re-crawl whose tokens all fail the lexicon filter
+        // produces ZERO posting rows, and deriving "latest batch per url"
+        // from postings would keep serving the stale crawl. The `_urls`
+        // prefix hides the sidecar from the main segments read.
+        pages.select(col("url")) // `batch` comes from the partition dir name
+          .write.mode("overwrite").parquet(s"$segmentsDir/_urls/batch=$batchId")
+        pages.unpersist()
+        ()
       }
       .start()
   }
@@ -87,13 +112,25 @@ object StreamIngest {
     * segment layout is the version; one url-keyed shuffle filters each url
     * to its latest batch before the shared tail (no-op cost when nothing
     * was re-crawled beyond the shuffle itself — an offline merge step). */
+  private val lastMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def mergeStreamed(spark: SparkSession, segmentsDir: String, parts: Int = 8,
                     blockSize: Int = graft.index.IndexBuild.DefaultBlockSize): graft.index.BuiltIndex = {
     val raw = spark.read.parquet(segmentsDir)
       .select(col("url"), col("term"), col("tf"), col("batch").cast("long").as("batch"))
-    val latest = raw.groupBy(col("url")).agg(max(col("batch")).as("batch"))
+    // latest batch per url from the PAGE markers, not the posting rows: a
+    // re-crawl whose content tokenizes to zero postings must still supersede
+    // the old crawl (its marker exists; its posting set is empty)
+    val latest = spark.read.parquet(s"$segmentsDir/_urls")
+      .groupBy(col("url")).agg(max(col("batch").cast("long")).as("batch"))
     val seg = raw.join(latest, Seq("url", "batch")).select("url", "term", "tf")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // release the PREVIOUS merge's pinned cache for this segment dir — the
+    // stream-then-merge loop would otherwise pin one full posting copy per
+    // merge until the session dies (an older BuiltIndex stays correct, just
+    // recomputes on next use)
+    Option(lastMergeCache.put(segmentsDir, seg)).foreach(_.unpersist())
     graft.index.IndexBuild.fromUrlTermTf(spark, seg, parts, blockSize)
   }
 }

@@ -24,7 +24,22 @@ object PorterStemmer {
 
     private def cons(i: Int): Boolean = b(i) match {
       case 'a' | 'e' | 'i' | 'o' | 'u' => false
-      case 'y' => if (i == 0) true else !cons(i - 1)
+      case 'y' =>
+        // identical to the published rule (y at 0 is a consonant, otherwise
+        // 'y' flips the previous position's answer) computed ITERATIVELY:
+        // the textbook one-recursion-per-'y' form overflowed the stack on
+        // adversarial y-runs reaching the query path, which has no length
+        // cap. Walk to the first non-'y' and fold the alternation parity.
+        var p = i - 1
+        while (p >= 0 && b(p) == 'y') p -= 1
+        if (p < 0) (i % 2) == 0 // all-'y' prefix: cons(0)=true, alternating
+        else {
+          val base = b(p) match {
+            case 'a' | 'e' | 'i' | 'o' | 'u' => false
+            case _ => true
+          }
+          if (((i - p) % 2) == 1) !base else base
+        }
       case _ => true
     }
 

@@ -68,6 +68,17 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(got(2).getDouble(0).isNaN)
   }
 
+  test("LENGTH MISMATCH yields null, not a prefix cosine (eval + codegen)") {
+    import spark.implicits._
+    // a truncated embedding must not produce a plausible score that could
+    // cross a dup threshold
+    val df = Seq((Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+    for (d <- Seq(df, df.repartition(2))) { // LocalTableScan eval + codegen
+      val out = d.select(GraftExtensions.cosineSim(col("a"), col("b")).as("c")).collect()
+      assert(out.head.isNullAt(0), s"expected null on mismatch, got ${out.head}")
+    }
+  }
+
   test("null ELEMENT yields null, like the composed column (eval + codegen)") {
     val df = Seq(
       (0L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),

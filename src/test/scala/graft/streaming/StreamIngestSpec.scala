@@ -44,19 +44,25 @@ class StreamIngestSpec extends AnyFunSuite {
     // batch 1 (which also first sees url B)
     val lex = graft.corpus.Corpus.lexicon.toSeq.sorted
     val (w1, w2, w3) = (lex(0), lex(1), lex(2))
-    Seq(("http://a/", w1, 3)).toDF("url", "term", "tf")
+    Seq(("http://a/", w1, 3), ("http://c/", w1, 5)).toDF("url", "term", "tf")
       .write.parquet(s"$segDir/batch=0")
     Seq(("http://a/", w2, 2), ("http://b/", w3, 1)).toDF("url", "term", "tf")
       .write.parquet(s"$segDir/batch=1")
+    // per-url page markers (what indexIngest's sink writes): url C was
+    // RE-CRAWLED in batch 1 but its new content emitted ZERO postings —
+    // only the marker proves the re-crawl, and C must drop from the index
+    Seq("http://a/", "http://c/").toDF("url").write.parquet(s"$segDir/_urls/batch=0")
+    Seq("http://a/", "http://b/", "http://c/").toDF("url")
+      .write.parquet(s"$segDir/_urls/batch=1")
 
     val built = StreamIngest.mergeStreamed(spark, segDir, parts = 2, blockSize = 64)
     val dict = built.dictionary.collect().map(e => e.term -> e.df).toMap
-    // w1 came only from A's STALE crawl — last write wins, so it's gone
+    // w1 came only from A's and C's STALE crawls — last write wins, so gone
     assert(!dict.contains(w1), s"stale posting survived the re-crawl merge: $dict")
     assert(dict.get(w2).contains(1L) && dict.get(w3).contains(1L), s"got $dict")
     val docs = built.docs.collect().map(d => d.url -> d.dl).toMap
     assert(docs == Map("http://a/" -> 2L, "http://b/" -> 1L),
-      s"doc lengths must reflect only the latest crawl, got $docs")
+      s"doc lengths must reflect only the latest crawls (and drop zero-posting C), got $docs")
   }
 
   test("streamed index ingest is rank-identical to the batch build; restart skips committed batches") {

@@ -36,6 +36,18 @@ class TextSpec extends AnyFunSuite {
     assert(n == 14540)
   }
 
+  test("stemmer survives adversarial y-runs from the uncapped query path") {
+    // the recursive cons() overflowed the stack at ~30k consecutive 'y's;
+    // the iterative parity walk must return (value irrelevant to ranking —
+    // no indexed term is this long — but the serving thread must not die)
+    val long = "y" * 30000 + "ed"
+    assert(graft.text.PorterStemmer.stem(long) != null)
+    // parity semantics on short runs stay exact (golden vectors cover real
+    // words; these pin the y-run alternation specifically)
+    assert(graft.text.PorterStemmer.stem("yyyed") != null)
+    assert(graft.text.PorterStemmer.stem("syzygy") == graft.text.PorterStemmer.stem("syzygy"))
+  }
+
   test("termCounts matches the reference Indexer on corpus + adversarial pages") {
     val lexicon = resource("lexicon.txt").toSet
     val inputs = resource("termcounts_input.tsv").map { line =>
