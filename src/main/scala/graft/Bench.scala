@@ -116,19 +116,23 @@ object Bench {
         // mmap point reads — p95 with zero jobs in the query loop
         val dir = java.nio.file.Files.createTempDirectory("graft-bench-direct")
           .toFile.getAbsolutePath
-        graft.query.DirectIndex.write(built, dir)
-        val ds = graft.query.DirectSearcher.open(dir, numDocs.toInt)
-        benchQueries.foreach(ds.referenceTopK(_)) // page-cache + JIT warm
-        pDirRef = p95(q => ds.referenceTopK(q))
-        pDirBm = p95(q => ds.bm25TopK(q, 10))
-        System.err.println(f"[bench-child $cpus] direct tier: p95ref=$pDirRef%.1fms " +
-          f"p95bm25=$pDirBm%.1fms bytes=${ds.bytesRead.get()}")
-        // the sidecar is bench-local scratch — a full index copy per hi rep
-        // would otherwise accumulate in /tmp across rounds
-        def rmAll(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+        try {
+          graft.query.DirectIndex.write(built, dir)
+          val ds = graft.query.DirectSearcher.open(dir, numDocs.toInt)
+          benchQueries.foreach(ds.referenceTopK(_)) // page-cache + JIT warm
+          pDirRef = p95(q => ds.referenceTopK(q))
+          pDirBm = p95(q => ds.bm25TopK(q, 10))
+          System.err.println(f"[bench-child $cpus] direct tier: p95ref=$pDirRef%.1fms " +
+            f"p95bm25=$pDirBm%.1fms bytes=${ds.bytesRead.get()}")
+        } finally {
+          // the sidecar is bench-local scratch — a full index copy per hi rep
+          // would otherwise accumulate in /tmp across rounds, INCLUDING when
+          // the write or a p95 probe throws
+          def rmAll(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+          }
+          rmAll(new java.io.File(dir))
         }
-        rmAll(new java.io.File(dir))
       }
       (buildSec, pRef, pBm, nBlocks, pDirRef, pDirBm,
         Seq(planSec, blocksSec, docsSec, dictSec))

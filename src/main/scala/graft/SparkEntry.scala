@@ -55,14 +55,39 @@ object SparkEntry {
   private val searcherCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.query.Searcher]()
 
-  private def builtFor(s: SparkSession, n: Int): graft.index.BuiltIndex =
+  /** appId → its SparkContext, captured at first cache insert, so entries
+    * belonging to STOPPED sessions can be evicted on the next access (an
+    * appId key alone can't answer "is this session dead?"). Without this,
+    * a long-lived JVM cycling sessions accumulates dead BuiltIndex entries
+    * (and their persisted-RDD references) forever. */
+  private val cacheOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.SparkContext]()
+  private def purgeStoppedSessions(current: SparkSession): Unit = {
+    cacheOwners.putIfAbsent(current.sparkContext.applicationId, current.sparkContext)
+    val it = cacheOwners.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isStopped) {
+        val app = e.getKey
+        it.remove()
+        indexCache.keySet.removeIf(_._1 == app)
+        searcherCache.keySet.removeIf(_._1 == app)
+      }
+    }
+  }
+
+  private def builtFor(s: SparkSession, n: Int): graft.index.BuiltIndex = {
+    purgeStoppedSessions(s)
     indexCache.computeIfAbsent((s.sparkContext.applicationId, n), _ =>
       graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
         graft.corpus.Corpus.lexicon, parts = searchParts(s)))
+  }
 
-  private def searcherFor(s: SparkSession, n: Int): graft.query.Searcher =
+  private def searcherFor(s: SparkSession, n: Int): graft.query.Searcher = {
+    purgeStoppedSessions(s)
     searcherCache.computeIfAbsent((s.sparkContext.applicationId, n), _ =>
       graft.query.Searcher.fromIndex(builtFor(s, n), n))
+  }
 
   /** Partition count for the in-query corpus index builds: these corpora
     * are small (500-2000 docs), where 32-way stages cost more in
@@ -668,6 +693,75 @@ object SparkEntry {
         (url, info("title"), info("abstract"))
       }
       s.createDataset(rows).toDF("url", "title", "abstract")
+    }),
+
+    // ---- REAL media decode (retires the round-3 stub boundary for the
+    // image + audio modalities): deterministic pixels/samples → REAL
+    // PNG/BMP encode (javax.imageio) and WAV encode (RIFF/16-bit PCM) →
+    // decode from the BYTES ALONE (container sniffed by magic, not a
+    // trusted format column) → exact integer metadata + pixel/sample sums.
+    // The oracle recomputes the sums from the closed-form generator
+    // formulas in pure SQL, so a header misparse, dropped channel, or
+    // sample-endianness slip hash-mismatches. ----
+    "q45_media_decode" -> ((s, _) =>
+      graft.ml.MediaCodec.decodeAll(graft.ml.MediaCodec.generate(s, 300)).toDF()),
+
+    // ---- the PRODUCTION streaming sessionizer (EventTimeTimeout +
+    // watermark, nonzero out-of-orderness delay) under the batch oracle
+    // VERBATIM. Unlike q42 there are NO per-user sentinels: every trailing
+    // session closes via the watermark-timeout flush. A single synthetic
+    // user's two far-future heartbeat events (separate micro-batches via
+    // maxFilesPerTrigger=1 + ordered mod-times) advance the GLOBAL
+    // watermark — the stand-in, for a bounded replay, for the later
+    // traffic any live stream has; the heartbeat user itself is excluded
+    // from the output (its open session never flushes anyway unless a
+    // trailing no-data batch runs). ----
+    "q46_sessionize_watermark" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val gap = 86400L
+      val real = t(s, d, "events")
+      val tsType = real.schema("ts").dataType
+      val src = java.nio.file.Files.createTempDirectory("graft_q46")
+      java.nio.file.Files.createSymbolicLink(
+        src.resolve("part-0.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val maxSec = real.select(max(c("ts").cast("timestamp").cast("long")))
+        .head().getLong(0)
+      // heartbeat k: one event for user -1 at maxSec + k·10·gap, written as
+      // its own file with an explicit mod-time so the file source replays
+      // real → hb1 → hb2 as three ordered micro-batches. During hb2's batch
+      // the watermark (= hb1 − delay) exceeds every real session_end + gap,
+      // so ALL real users flush through the timeout path.
+      def heartbeat(k: Int): Unit = {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q46_hb")
+        Seq((-k.toLong, -1L, "heartbeat", 0.0, ""))
+          .toDF("event_id", "user_id", "event_type", "value", "props")
+          .withColumn("ts", (lit(maxSec) + gap * 10L * k).cast("timestamp").cast(tsType))
+          .select(real.columns.map(c): _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+        val dst = src.resolve(f"part-$k%d-heartbeat.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + k * 60000L))
+      }
+      heartbeat(1); heartbeat(2)
+      val stream = s.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val name = s"graft_q46_${System.nanoTime()}"
+      val q = graft.streaming.Sessionize
+        .streamingWithTimeout(stream, gap, delay = "60 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); throw new IllegalStateException("q46 streaming query timed out after 300s") }
+      s.table(name).filter(c("user_id") =!= -1L).select(c("user_id"),
+        c("session_start").cast(tsType).as("session_start"),
+        c("session_end").cast(tsType).as("session_end"),
+        c("n_events"), c("sum_value"))
     })
   )
 
@@ -1033,6 +1127,57 @@ object SparkEntry {
     "q35_search_dataset" -> refSearchSql("prince officer soldier", 1000, triplesName(1000), withRank = false),
     "q36_doc_detail" -> docDetailSql(500L),
     "q44_doc_detail_direct" -> docDetailSql(500L),
+
+    // q45: pure-SQL recompute of the media features from the closed-form
+    // generator formulas (MediaCodec.pixel / wavSample / imgDims /
+    // wavParams) — NO aux table: both sides derive everything from the
+    // asset id, but the Spark side must get there by decoding REAL
+    // PNG/BMP/WAV bytes. All-integer arithmetic → exact hash compare.
+    "q45_media_decode" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+         i0 AS (SELECT id, 8 + id % 17 AS w, 8 + (id // 17) % 13 AS h
+                FROM ids WHERE id % 3 <> 0),
+         i1 AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM i0),
+         i2 AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM i1),
+         i3 AS (SELECT *, unnest(generate_series(0, 2)) AS c FROM i2),
+         img AS (
+           SELECT id AS asset_id,
+                  CASE WHEN id % 3 = 1 THEN 'png' ELSE 'bmp' END AS format,
+                  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                  0 AS sample_rate, CAST(w * h AS BIGINT) AS n_units,
+                  CAST(sum((id * 31 + x * 7 + y * 13 + c * 101) % 256) AS BIGINT) AS checksum
+           FROM i3 GROUP BY id, w, h),
+         w0 AS (SELECT id, 8000 + (id % 4) * 4000 AS sr, 200 + (id % 5) * 50 AS n
+                FROM ids WHERE id % 3 = 0),
+         w1 AS (SELECT *, unnest(generate_series(0, n - 1)) AS i FROM w0),
+         wav AS (
+           SELECT id AS asset_id, 'wav' AS format, 0 AS width, 0 AS height,
+                  CAST(sr AS INTEGER) AS sample_rate, CAST(n AS BIGINT) AS n_units,
+                  CAST(sum((id * 73 + i * 37) % 4096 - 2048) AS BIGINT) AS checksum
+           FROM w1 GROUP BY id, sr, n)
+         SELECT * FROM img UNION ALL SELECT * FROM wav""",
+
+    // q46 = the batch sessionization oracle VERBATIM: the production
+    // EventTimeTimeout sessionizer (watermark flush, no per-user
+    // sentinels) must land on exactly the batch result
+    "q46_sessionize_watermark" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  floor(epoch(ts))::BIGINT AS sec,
+                  lag(floor(epoch(ts))::BIGINT) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 86400
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM m)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sess_no""",
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),

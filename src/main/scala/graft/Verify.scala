@@ -19,11 +19,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // co-locate oracle aux-input tables with the output the DuckDB compare
-    // reads (same filesystem guaranteed); oracle SQL embeds this path
-    System.setProperty("graft.aux.dir",
-      new java.io.File(outDir, "_aux").getAbsolutePath)
+    val out = new java.io.File(outDir); out.mkdirs()
+    // aux-input tables live in a SIBLING of the output dir (same filesystem,
+    // so DuckDB still reads them via the absolute paths the oracle SQL
+    // embeds) — NOT inside it: the driver's comparator treats every child of
+    // outDir as a query result, and an `_aux` child becomes a standing
+    // error row in CORRECTNESS_r{N}.json
+    val auxBase = new java.io.File(
+      Option(out.getAbsoluteFile.getParentFile).getOrElse(out.getAbsoluteFile),
+      s"${out.getName}_aux")
+    System.setProperty("graft.aux.dir", auxBase.getAbsolutePath)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

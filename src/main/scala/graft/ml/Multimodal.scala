@@ -14,14 +14,17 @@ final case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
 /** Multimodal-column plumbing: schema, partitioning, batch shape, and
   * feature-extraction pipeline over opaque `binary` media columns.
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] is a deterministic fake that "decodes" a fake
-  * header instead of real pixels/samples. Everything around it — the typed
-  * schema, the mapPartitions batch shape (mirroring a Pandas-UDF/Arrow batch
-  * boundary: per-partition iterator, decoder state reused across rows, no
-  * per-row library init), column pruning (media bytes are only read in the
-  * decode stage) — is real and tested, so swapping in a real decoder is a
-  * one-function change.
+  * REAL image (PNG/BMP via `javax.imageio`) and audio (WAV RIFF/PCM)
+  * codecs live in [[MediaCodec]] (driver-oracled as q45). The
+  * deterministic stub here remains ONLY for the video modality, where no
+  * pure-JVM decoder exists in this container: [[decodeStub]] "decodes" a
+  * fake header instead of real frames. Everything around the stub — the
+  * typed schema, the mapPartitions batch shape (mirroring a
+  * Pandas-UDF/Arrow batch boundary: per-partition iterator, decoder state
+  * reused across rows, no per-row library init), column pruning (media
+  * bytes are only read in the decode stage) — is real and tested, so
+  * swapping in a real video decoder is a one-function change, exactly as
+  * it was for the image/audio paths.
   */
 object Multimodal {
 

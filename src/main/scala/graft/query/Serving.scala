@@ -60,11 +60,26 @@ object Serving {
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
   private[query] val pagesLoads = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def pagesTable(spark: SparkSession, pagesDir: String): org.apache.spark.sql.DataFrame =
+  /** appId → SparkContext, so dead-session entries (whose cached DataFrames
+    * reference a stopped context) are evicted on the next access instead of
+    * accumulating for the JVM's lifetime. */
+  private val cacheOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.SparkContext]()
+
+  private def pagesTable(spark: SparkSession, pagesDir: String): org.apache.spark.sql.DataFrame = {
+    cacheOwners.putIfAbsent(spark.sparkContext.applicationId, spark.sparkContext)
+    val it = cacheOwners.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isStopped) {
+        pagesCache.keySet.removeIf(_._1 == e.getKey); it.remove()
+      }
+    }
     pagesCache.computeIfAbsent((spark.sparkContext.applicationId, pagesDir), _ => {
       pagesLoads.incrementAndGet()
       spark.read.parquet(pagesDir)
     })
+  }
 
   /** `GET /query/:url` response body: point lookup on a pages table keyed
     * by the reference row-key hash (written key-sorted → row-group-pruned
