@@ -43,9 +43,18 @@ import graft.text.{PorterStemmer, Text}
   *
   * Hygiene sets at scale: dirty/throwing docs are docs with malformed or
   * unclean URLs — a tiny fraction of any real crawl by construction (the
-  * crawler's own normalizer rejects most). Both sets are collected and
-  * broadcast; a corpus where they outgrow driver memory would swap in a
-  * Bloom-filter pre-screen with an exact per-term verify, same walk.
+  * crawler's own normalizer rejects most). While the flagged count fits the
+  * driver ([[QueryOps.HygieneSetCap]]) both sets are collected and
+  * broadcast exact; past the cap (or when forced) the walk switches to a
+  * broadcast BLOOM pre-screen: postings whose doc hits a filter are emitted
+  * as SUSPECTS (not counted toward the cap) until 200 definitely-clean
+  * postings accumulate, the tiny suspect id set is classified EXACTLY
+  * against the docs table (one broadcast join), and a per-term ordered
+  * re-rank replays the reference walk — skip-docs dropped without
+  * counting, a genuinely-throwing doc reached before the 200th clean
+  * posting emptying its term. False positives cost only extra suspects;
+  * results stay bit-identical (IndexSpec forces this path on the
+  * adversarial corpus).
   */
 object QueryOps {
 
@@ -74,25 +83,56 @@ object QueryOps {
       else 0
     } catch { case _: Exception => 2 }
 
-  /** (skip ids, throw ids) — one narrow scan over the docs table; both sets
-    * are tiny on any real corpus (see class doc). MEMOIZED per BuiltIndex
-    * instance (weak keys): the sets depend only on the index, so repeated
+  /** Hygiene representation the walk screens postings with: exact driver
+    * sets while they fit, Bloom pre-screens past [[HygieneSetCap]]. Both
+    * carry the flagged COUNT so the block-prune window knows how many
+    * skippable postings may precede the cap. */
+  private[query] sealed trait Hygiene { def flaggedCount: Long }
+  private[query] final case class ExactSets(skip: Set[Long], thr: Set[Long]) extends Hygiene {
+    def flaggedCount: Long = skip.size.toLong + thr.size
+  }
+  private[query] final case class BloomScreen(
+      filter: org.apache.spark.util.sketch.BloomFilter,
+      flaggedCount: Long) extends Hygiene
+
+  /** Above this many flagged docs the exact sets stop being collected and
+    * the Bloom pre-screen takes over (≈ 16 MB of driver longs at the cap —
+    * the documented swap point, now implemented). */
+  private[query] val HygieneSetCap: Long = 1L << 21
+
+  /** Hygiene state — one narrow scan over the docs table; flagged docs are
+    * tiny on any real corpus (see class doc). MEMOIZED per BuiltIndex
+    * instance (weak keys): it depends only on the index, so repeated
     * single-query or replay calls over one index must not re-scan docs. */
   private val hygieneCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[BuiltIndex, (Set[Long], Set[Long])]())
+    new java.util.WeakHashMap[BuiltIndex, Hygiene]())
+  private val bloomCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[BuiltIndex, Hygiene]())
 
-  private def hygieneSets(built: BuiltIndex): (Set[Long], Set[Long]) = {
-    val cached = hygieneCache.get(built)
+  private def hygieneOf(built: BuiltIndex, forceBloom: Boolean): Hygiene = {
+    val cache = if (forceBloom) bloomCache else hygieneCache
+    val cached = cache.get(built)
     if (cached != null) return cached
     val spark = built.docs.sparkSession
     import spark.implicits._
     val flagged = built.docs
       .map(d => (d.doc_id, classifyUrl(d.url)))
       .filter(_._2 != 0)
-      .collect()
-    val v = (flagged.collect { case (id, 1) => id }.toSet,
-             flagged.collect { case (id, 2) => id }.toSet)
-    hygieneCache.put(built, v)
+    val cnt = flagged.count()
+    val v: Hygiene =
+      if (forceBloom || cnt > HygieneSetCap) {
+        // ONE filter over all flagged ids (skip + throw): a hit only marks a
+        // SUSPECT — the exact class comes from the per-term verify join, so
+        // there is nothing to gain from separate skip/throw filters
+        val bf = flagged.toDF("doc_id", "cls")
+          .stat.bloomFilter("doc_id", math.max(cnt, 1L), 0.001)
+        BloomScreen(bf, cnt)
+      } else {
+        val arr = flagged.collect()
+        ExactSets(arr.collect { case (id, 1) => id }.toSet,
+                  arr.collect { case (id, 2) => id }.toSet)
+      }
+    cache.put(built, v)
     v
   }
 
@@ -121,7 +161,8 @@ object QueryOps {
   def batchReferenceTopK(spark: SparkSession, built: BuiltIndex,
                          queries: Seq[String], n: Int,
                          isinThreshold: Int = 2048,
-                         broadcastRowCap: Long = 100000L): DataFrame = {
+                         broadcastRowCap: Long = 100000L,
+                         forceBloomHygiene: Boolean = false): DataFrame = {
     import spark.implicits._
     def emptyResult: DataFrame = spark.emptyDataFrame
       .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
@@ -147,16 +188,19 @@ object QueryOps {
     val termStats = liveTerms.flatMap(t =>
       dict.get(t).map(d => t -> (idfOf(t), d.max_tf))).toMap
 
-    val (skipIds, throwIds) = hygieneSets(built)
-    // the walk's output is CAP-BOUNDED (≤ 200 clean postings per live term),
-    // so it is materialized ONCE here — both the touched-id set and the
-    // downstream joins reuse the result instead of executing the expensive
-    // block-decode pipeline twice (collect job + final query)
-    val walked = walkTermPostings(spark, built, liveTerms, termStats, skipIds, throwIds)
-      .as[(String, Long, Int, Double)].collect()
-    if (walked.isEmpty) return emptyResult
-    val postings = spark.createDataset(walked.toIndexedSeq)
-      .toDF("term", "doc_id", "rank", "base")
+    // the walk's output is CAP-BOUNDED (≤ 200 clean postings per live term)
+    // but NEVER transits the driver: it is persisted once (the count below
+    // materializes the cache) and every consumer — the point-fetch id set,
+    // the fan-out join, the url join — reads the cached Dataset. The
+    // ContextCleaner unpersists it when the result's plan is GC'd.
+    val postings = (hygieneOf(built, forceBloomHygiene) match {
+      case ExactSets(skipIds, throwIds) =>
+        walkTermPostings(spark, built, liveTerms, termStats, skipIds, throwIds)
+      case bs: BloomScreen =>
+        bloomWalkTermPostings(spark, built, liveTerms, termStats, bs)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val walkedCount = postings.count()
+    if (walkedCount == 0) { postings.unpersist(); return emptyResult }
 
     // fan each term's walked postings out to its queries; the expansion
     // table is always tiny (queries × terms rows)
@@ -165,8 +209,6 @@ object QueryOps {
       .select($"query_id", $"doc_id", $"qidx", $"rank".as("term_rank"),
         ($"base" * $"factor").as("s"))
 
-    // urls for the capped id set (≤ 200 × live terms, shared across queries)
-    val ids = walked.map(_._2).distinct
     // total function: throwing urls decode to null (their docs never appear
     // in the walk output, so they never match the join — but the full-docs
     // branch maps EVERY row and must not fail on them)
@@ -174,10 +216,13 @@ object QueryOps {
       try java.net.URLDecoder.decode(u.trim, "UTF-8")
       catch { case _: Exception => null })
     val joined =
-      if (ids.length <= isinThreshold) {
+      if (walkedCount <= isinThreshold) {
         // point fetch: In-filter pushdown prunes the doc_id-sorted docs
         // table to the touched row groups; the url slice (≤ ids rows) is
-        // the broadcast side — NOT the batch-sized scored side
+        // the broadcast side — NOT the batch-sized scored side. Only the
+        // distinct TOUCHED IDS transit the driver here, and only in this
+        // branch, where their count is ≤ isinThreshold by construction.
+        val ids = postings.select($"doc_id").distinct().as[Long].collect()
         val urls = built.docs.select($"doc_id", decodeUrl($"url").as("url"))
           .filter($"doc_id".isin(ids.toIndexedSeq: _*))
         contrib.join(broadcast(urls), Seq("doc_id"))
@@ -213,7 +258,7 @@ object QueryOps {
     * before the cap. Emits (term, doc_id, rank, base) where rank is the
     * CLEAN serving rank and base = tfn × idf (stem factor applied later
     * per query). */
-  private def walkTermPostings(spark: SparkSession, built: BuiltIndex,
+  private[query] def walkTermPostings(spark: SparkSession, built: BuiltIndex,
                                terms: Seq[String],
                                termStats: Map[String, (Double, Int)],
                                skipIds: Set[Long],
@@ -262,6 +307,103 @@ object QueryOps {
         }
         flush()
         out.iterator
+      }.toDF("term", "doc_id", "rank", "base")
+  }
+
+  /** The Bloom-pre-screened twin of [[walkTermPostings]] for corpora whose
+    * flagged-doc sets outgrow the driver. Three stages, results
+    * bit-identical to the exact walk:
+    *
+    *  1. walk each term in serving order; a posting whose doc hits the
+    *     (broadcast) Bloom filter is emitted as a SUSPECT and does not
+    *     count; definitely-clean postings count toward the 200 stop. Walk
+    *     output ≤ 200 + suspects per term, suspects ≈ flagged hits + fpp
+    *     noise;
+    *  2. classify the tiny distinct suspect-id set EXACTLY against the docs
+    *     table (join pruned by the suspect ids, result broadcast back);
+    *  3. per-term ordered replay: iterate walked postings in serving order
+    *     with exact classes — skips dropped without counting, a genuinely
+    *     throwing doc reached before the 200th clean posting empties the
+    *     term (a throw first encountered at clean ≥ 200 is past the
+    *     reference's loop bound and must NOT abort), stop at 200.
+    */
+  private[query] def bloomWalkTermPostings(spark: SparkSession, built: BuiltIndex,
+                                    terms: Seq[String],
+                                    termStats: Map[String, (Double, Int)],
+                                    screen: BloomScreen): DataFrame = {
+    import spark.implicits._
+    val statsB = spark.sparkContext.broadcast(termStats)
+    val bloomB = spark.sparkContext.broadcast(screen.filter)
+    val skippable = screen.flaggedCount
+
+    val wOrd = Window.partitionBy($"term").orderBy($"part_id".asc, $"seq".asc)
+    val pruned = built.blocks.filter($"term".isin(terms: _*))
+      .withColumn("prior_postings",
+        coalesce(sum($"n").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"prior_postings" < lit(200L + skippable))
+
+    // stage 1: raw walk with suspect marking
+    val raw = pruned.select($"term", $"part_id", $"seq", $"n", $"max_tf",
+        $"docs_vb", $"tfs_vb", $"perm_vb")
+      .repartition($"term")
+      .sortWithinPartitions($"term", $"part_id", $"seq")
+      .as[(String, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Double, Boolean)]
+        var curTerm: String = null
+        var confirmedClean = 0
+        var rawIdx = 0
+        for ((term, pid, seq, nb, maxTf, docs, tfs, perm) <- it) {
+          if (term != curTerm) { curTerm = term; confirmedClean = 0; rawIdx = 0 }
+          if (confirmedClean < 200) {
+            val (idf, dMaxTf) = statsB.value(term)
+            val decoded = IndexBuild.decodeBlock(
+              graft.index.PostingBlock(term, pid, seq, nb, maxTf, docs, tfs, perm))
+            var i = 0
+            while (i < decoded.length && confirmedClean < 200) {
+              val (docId, tf) = decoded(i)
+              val suspect = bloomB.value.mightContainLong(docId)
+              out += ((term, docId, rawIdx, (0.4 + 0.6 * tf / dMaxTf) * idf, suspect))
+              rawIdx += 1
+              if (!suspect) confirmedClean += 1
+              i += 1
+            }
+          }
+        }
+        out.iterator
+      }.toDF("term", "doc_id", "raw_idx", "base", "suspect")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 2: exact classification of the suspect ids only (a tiny set:
+    // real flagged docs that made the walk window, plus fpp noise)
+    val suspectIds = raw.filter($"suspect").select($"doc_id").distinct()
+    val classify = udf((u: String) => classifyUrl(u))
+    val resolved = built.docs.toDF()
+      .join(suspectIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id", classify($"url").as("cls"))
+
+    // stage 3: ordered per-term replay with exact classes
+    raw.join(broadcast(resolved), Seq("doc_id"), "left")
+      .select($"term", $"doc_id", $"raw_idx", $"base",
+        coalesce($"cls", lit(0)).as("cls"))
+      .as[(String, Long, Int, Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (term, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._3)
+        val out = IndexedSeq.newBuilder[(String, Long, Int, Double)]
+        var clean = 0
+        var aborted = false
+        var i = 0
+        while (i < rows.length && clean < 200 && !aborted) {
+          val (_, docId, _, base, cls) = rows(i)
+          cls match {
+            case 0 => out += ((term, docId, clean, base)); clean += 1
+            case 1 => () // skip: does not count toward the cap
+            case 2 => aborted = true // throw before the cap empties the term
+          }
+          i += 1
+        }
+        if (aborted) Iterator.empty else out.result().iterator
       }.toDF("term", "doc_id", "rank", "base")
   }
 }

@@ -218,6 +218,17 @@ class IndexSpec extends AnyFunSuite {
           .map(r => (r.getString(2), r.getDouble(3))).toList
         assert(got == sr.referenceTopK(q), s"batch adversarial '$q' at N=$n")
       }
+      // the BLOOM hygiene pre-screen (suspect-mark → exact per-term verify →
+      // ordered replay) must land on the identical rows — forced here, since
+      // this corpus's flagged set is far below the auto-switch cap
+      val byQidBloom = graft.query.QueryOps.batchReferenceTopK(spark, b, qs, n,
+          forceBloomHygiene = true)
+        .collect().groupBy(_.getInt(0))
+      for ((q, qi) <- qs.zipWithIndex) {
+        val got = byQidBloom.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+          .map(r => (r.getString(2), r.getDouble(3))).toList
+        assert(got == sr.referenceTopK(q), s"bloom batch adversarial '$q' at N=$n")
+      }
     }
   }
 
@@ -266,6 +277,16 @@ class IndexSpec extends AnyFunSuite {
       numDocs, isinThreshold = 0)
     assert(hintCount(df) < hintCount(small),
       s"1000-query plan must drop a hint vs the 2-query plan")
+    // the walked postings feed the plan from the persisted Dataset (an
+    // in-memory relation), NEVER via a driver collect round-trip: the only
+    // LocalTableScan allowed is the tiny (query_id, term, factor, qidx)
+    // expansion table
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("InMemoryTableScan"),
+      "walked postings must be read from the persisted Dataset")
+    val localScans = "LocalTableScan \\[[^\\]]*\\]".r.findAllIn(planStr).toList
+    assert(!localScans.exists(_.contains("doc_id")),
+      s"walked postings transited the driver: $localScans")
     val rows = df.collect()
     val byQid = rows.groupBy(_.getInt(0))
     assert(byQid.values.forall(_.length <= 200))

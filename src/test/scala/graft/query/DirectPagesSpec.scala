@@ -73,6 +73,22 @@ class DirectPagesSpec extends AnyFunSuite {
       s"lookup read $per of $total page-store bytes — not a point fetch")
   }
 
+  test("a tiny shard cap rolls page shards, lookups identical") {
+    val d = Files.createTempDirectory("graft-pages-split").toFile.getAbsolutePath
+    val cap = 32768L
+    DirectIndex.writePages(keyed, d, maxShardBytes = cap)
+    val gen = new java.io.File(DirectIndex.resolveDir(d, "pages"))
+    val files = gen.listFiles().filter(f =>
+      f.getName.startsWith("pages-") && f.getName.endsWith(".bin"))
+    assert(files.length > 4, s"expected rolled page shards, got ${files.length}")
+    for (f <- files) assert(f.length() <= cap, s"${f.getName} over cap: ${f.length()}")
+    val split = DirectPages.open(d)
+    val whole = DirectPages.open(sidecarDir)
+    val urls = keyed.select("url").collect().map(_.getString(0))
+    for (u <- urls.take(10) ++ urls.takeRight(5) ++ Seq("http://absent.example/none"))
+      assert(split.html(RefHasher.hash(u)) == whole.html(RefHasher.hash(u)), s"'$u'")
+  }
+
   test("empty pages table round-trips; absent and malformed keys miss cleanly") {
     val d = Files.createTempDirectory("graft-pages-empty").toFile.getAbsolutePath
     DirectIndex.writePages(keyed.limit(0), d)

@@ -134,6 +134,55 @@ class DirectSearcherSpec extends AnyFunSuite {
     assert(gens.length == 1, s"expected exactly one live generation, got ${gens.map(_.getName).toSeq}")
   }
 
+  test("a tiny shard cap rolls multiple files per partition, results identical") {
+    val d = Files.createTempDirectory("graft-direct-split").toFile.getAbsolutePath
+    val cap = 2048L
+    DirectIndex.write(built, d, maxShardBytes = cap)
+    val gen = new java.io.File(DirectIndex.resolveDir(d, "index"))
+    def shardFiles(prefix: String) =
+      gen.listFiles().filter(f => f.getName.startsWith(prefix) && f.getName.endsWith(".bin"))
+    // 5 build partitions each roll to several files under the tiny cap
+    assert(shardFiles("blocks-").length > 5,
+      s"expected rolled block shards, got ${shardFiles("blocks-").length}")
+    assert(shardFiles("docs-").length > 5,
+      s"expected rolled docs shards, got ${shardFiles("docs-").length}")
+    // the cap is a real bound (records are never split; none exceeds it here)
+    for (f <- shardFiles("blocks-") ++ shardFiles("docs-"))
+      assert(f.length() <= cap, s"${f.getName} over cap: ${f.length()}")
+    val eager = Searcher.fromIndex(built, numDocs)
+    val direct = DirectSearcher.open(d, numDocs)
+    for (q <- queries ++ Seq("telescope", "", "zzzabsent")) {
+      assert(direct.referenceTopK(q) == eager.referenceTopK(q), s"ref '$q'")
+      assert(direct.bm25TopK(q, 10) == eager.bm25TopK(q, 10), s"bm25 '$q'")
+    }
+  }
+
+  test("PageRank blend serves from the ranks sidecar with zero jobs") {
+    val (ranksDs, _) = graft.rank.PageRank.compute(spark, pages)
+    val ranksMap = ranksDs.collect().map(r => r.url -> r.rank).toMap
+    // the in-heap blend: postings carry decoded urls, PageRank keys by the
+    // normalized self url, absent urls score 0.0
+    val pr: String => Double =
+      url => ranksMap.getOrElse(graft.rank.RefUrl.selfNormalize(url), 0.0)
+    val eager = Searcher.fromIndex(built, numDocs)
+    DirectIndex.writeRanks(ranksDs, dir) // new `ranks` family beside `index`
+    val direct = DirectSearcher.open(dir, numDocs)
+    val dranks = DirectRanks.open(dir)
+
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (q <- queries ++ Seq("telescope", "observation comet", ""))
+        assert(direct.referenceTopK(q, Some(dranks.prFunction)) ==
+               eager.referenceTopK(q, Some(pr)), s"blend '$q'")
+      Thread.sleep(300)
+      assert(jobs == 0, s"ranks-sidecar blend scheduled $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("concurrent queries on one open searcher match serial results") {
     // a serving tier is multithreaded: race a COLD searcher's lazy caches
     // (shard mmap, per-shard dl decode, per-term block fetch) from many
