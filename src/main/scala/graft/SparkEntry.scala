@@ -762,6 +762,24 @@ object SparkEntry {
         c("session_start").cast(tsType).as("session_start"),
         c("session_end").cast(tsType).as("session_end"),
         c("n_events"), c("sum_value"))
+    }),
+
+    // ---- near-dup CLUSTER formation: connected components over pair
+    // matches (the step a 100 TB dedup pipeline needs after LSH/verify —
+    // pairs alone don't say which docs to keep). Deterministic multi-hop
+    // graph over real doc ids: chains of 10 plus long-range links merging
+    // chains, so the iterative min-label + pointer-jumping propagation does
+    // real multi-round work, not 1-hop cliques. The oracle recomputes
+    // min-reachable-id per node from the dumped pairs with a recursive CTE. ----
+    "q47_dedup_components" -> ((s, d) => {
+      val doc = t(s, d, "documents").select(col("doc_id"))
+      val pairs = doc.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .union(doc.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 23).as("b")))
+      dumpAux(pairs, "q47_pairs")
+      graft.ml.Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
     })
   )
 
@@ -1156,6 +1174,22 @@ object SparkEntry {
                   CAST(sum((id * 73 + i * 37) % 4096 - 2048) AS BIGINT) AS checksum
            FROM w1 GROUP BY id, sr, n)
          SELECT * FROM img UNION ALL SELECT * FROM wav""",
+
+    // q47: recursive-CTE reachability over the dumped pair graph — each
+    // node's component is its minimum reachable id, exactly what the
+    // distributed min-label propagation converges to
+    "q47_dedup_components" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT a, b FROM read_parquet('${auxDir}/q47_pairs/*.parquet')),
+         e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         n AS (SELECT DISTINCT x AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT e.x, reach.r FROM e JOIN reach ON e.y = reach.id
+         )
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         FROM reach GROUP BY id""",
 
     // q46 = the batch sessionization oracle VERBATIM: the production
     // EventTimeTimeout sessionizer (watermark flush, no per-user

@@ -279,4 +279,68 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
   }
+
+  // ------------------------------------------------------ component clustering
+  /** Connected components over near-dup PAIRS — the step that turns
+    * pairwise matches into dedup CLUSTERS with a canonical survivor (the
+    * min doc id of each component). Input `pairs` must have long columns
+    * (`aCol`, `bCol`); output is (id, component) for every pair endpoint,
+    * component = min reachable id.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round takes comp(x) ← min(comp(x), min over neighbors comp(y)),
+    * then compresses comp(x) ← comp(comp(x)), so convergence is
+    * O(log diameter) rounds, each one shuffle join + agg. Near-dup graphs
+    * are dense low-diameter clusters by construction (every member matched
+    * some other member through shared LSH buckets), so rounds stay single-
+    * digit at any corpus size; the shuffle carries (id, comp) longs only —
+    * never text. Each round is `localCheckpoint`ed — the self-join would
+    * otherwise DOUBLE the logical plan per round (2³⁰-character plans by
+    * round 30; caching alone does not truncate analysis lineage — the same
+    * pitfall PageRank.run checkpoints against). Pass `checkpointDir` on a
+    * real cluster for executor-loss-safe reliable checkpoints. Stops on a
+    * converged (changed == 0) round or `maxIter`, whichever first, with a
+    * loud error rather than a silently-partial clustering on the cap. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val edges = pairs.select(a.as("x"), b.as("y"))
+    val sym = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = truncate(sym.select(col("x").as("id")).distinct()
+      .withColumn("comp", col("id")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(comp, sym("y") === comp("id"))
+        .groupBy(sym("x").as("nid")).agg(min(col("comp")).as("nmin"))
+      val stepped = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jumping: comp values are themselves node ids, so one
+      // self-join halves the remaining path length every round
+      val jumped = truncate(stepped.as("s")
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("s.comp") === col("cid"), "left")
+        .select(col("s.id").as("id"), coalesce(col("ccomp"), col("s.comp")).as("comp")))
+      val changed = jumped.as("n")
+        .join(comp.select(col("id").as("oid"), col("comp").as("ocomp")),
+          col("n.id") === col("oid"))
+        .filter(col("n.comp") =!= col("ocomp")).count()
+      comp = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — graph diameter " +
+      "far beyond any near-dup cluster shape; raise maxIter")
+    comp
+  }
 }

@@ -114,15 +114,19 @@ object DirectIndex {
     pid * MaxRolls + k
   }
 
-  /** A rolling shard writer: `add(recordBytes)` returns the (sid, offset)
-    * the CURRENT record must be written at, rolling to a fresh file first
-    * when the record would push the file past `cap` (+`tailPerRecord` bytes
-    * of end-of-file table per record already written, for families that
-    * append an offset/key table). `onRoll` runs right before each close so
-    * the family can flush its per-file tail. */
+  /** THE rolling shard writer — the one copy of the roll/commit discipline
+    * every family (blocks, docs, pages, ranks) shares. `add(recordBytes)`
+    * returns the (sid, offset) the CURRENT record must be written at,
+    * rolling to a fresh file first when the record would push the file past
+    * `cap` (+`tailPerRecord` bytes of end-of-file table per record already
+    * written, for families that append an offset/key table). Families hook
+    * per-roll state: `onOpen` resets it when a file opens; `onClose(sid,
+    * recordBytes, out)` flushes the file's tail and emits its index row —
+    * called only for kept, non-empty rolls, right before close. */
   private final class RollingShard(dirAbs: String, family: String, pid: Int,
                                    cap: Long, tailPerRecord: Long,
-                                   onRoll: DataOutputStream => Unit) {
+                                   onOpen: () => Unit = () => (),
+                                   onClose: (Int, Long, DataOutputStream) => Unit = (_, _, _) => ()) {
     private var k = -1
     private var out: DataOutputStream = _
     private var tmp: File = _
@@ -137,9 +141,10 @@ object DirectIndex {
       tmp = attemptFile(dirAbs, name)
       out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
       offset = 0L; nRecords = 0
+      onOpen()
     }
     private def closeCurrent(keep: Boolean): Unit = if (out != null) {
-      try if (keep && nRecords > 0) onRoll(out) finally out.close()
+      try if (keep && nRecords > 0) onClose(currentSid, offset, out) finally out.close()
       commitShardFile(tmp, dirAbs, name, keep = keep && nRecords > 0)
       out = null
     }
@@ -159,16 +164,18 @@ object DirectIndex {
 
   /** Executor tasks stream shard files to `dir` and the driver writes the
     * index files next to them — valid only when both see ONE filesystem. On
-    * a shared-nothing cluster the sidecar would land scattered across
-    * executor-local disks; a production deployment either runs per-shard
-    * serving nodes (each opens its own local shard, the reference's KVS-
-    * worker shape) or gathers shards through a shared FS. Fail loudly
-    * instead of writing an unreadable index. */
+    * a shared-nothing cluster with a LOCAL `dir` the sidecar would land
+    * scattered across executor disks; a production deployment either runs
+    * per-shard serving nodes (each opens its own local shard, the
+    * reference's KVS-worker shape) or points `dir` at a shared mount
+    * (NFS/FUSE) every executor sees — acknowledged by setting
+    * `-Dgraft.direct.fs.shared=true`, since Spark cannot introspect that.
+    * Anything else fails loudly instead of writing an unreadable index. */
   private def requireSharedFs(spark: org.apache.spark.sql.SparkSession): Unit =
-    require(spark.sparkContext.isLocal,
+    require(spark.sparkContext.isLocal || sys.props.get("graft.direct.fs.shared").contains("true"),
       "DirectIndex sidecar writes stream executor-local files and require a " +
       "driver-shared filesystem: run in local mode, or point `dir` at a shared " +
-      "mount and gather per-shard serving from it")
+      "mount visible to every executor and set -Dgraft.direct.fs.shared=true")
 
   def write(built: BuiltIndex, dir: String,
             maxShardBytes: Long = DefaultMaxShardBytes): Unit = {
@@ -183,7 +190,7 @@ object DirectIndex {
     // at the size cap ----
     val blockRefs = built.blocks.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val roll = new RollingShard(dirAbs, "blocks", pid, maxShardBytes, 0L, _ => ())
+      val roll = new RollingShard(dirAbs, "blocks", pid, maxShardBytes, 0L)
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Long)]
       try {
         for (b <- it) {
@@ -224,51 +231,37 @@ object DirectIndex {
     val docShards = built.docs.sort("doc_id").mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
-      var k = 0
-      var out: DataOutputStream = null; var tmp: File = null; var name: String = null
       var offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
       var minId = Long.MaxValue; var maxId = Long.MinValue
-      var dlSum = 0L; var dlMin = Long.MaxValue; var pos = 0L
-      def openRoll(): Unit = {
-        name = s"docs-${sid(pid, k)}.bin"
-        tmp = attemptFile(dirAbs, name)
-        out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
-        offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
-        minId = Long.MaxValue; maxId = Long.MinValue
-        dlSum = 0L; dlMin = Long.MaxValue; pos = 0L
-      }
-      def closeRoll(keep: Boolean): Unit = if (out != null) {
-        try if (keep && offsets.nonEmpty) {
-          val tablePos = pos
+      var dlSum = 0L; var dlMin = Long.MaxValue
+      // file size = records + 8 B of offset table per record
+      val roll = new RollingShard(dirAbs, "docs", pid, maxShardBytes, 8L,
+        onOpen = () => {
+          offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+          minId = Long.MaxValue; maxId = Long.MinValue
+          dlSum = 0L; dlMin = Long.MaxValue
+        },
+        onClose = (s, recordBytes, out) => {
           offsets.foreach(out.writeLong)
           // dense global ids + range sort ⇒ a roll's range is contiguous
           require(maxId - minId + 1 == offsets.length,
-            s"docs shard $name ids not contiguous: [$minId,$maxId] for ${offsets.length} rows")
-          results += ((sid(pid, k), minId, offsets.length, tablePos, dlSum, dlMin))
-        } finally out.close()
-        commitShardFile(tmp, dirAbs, name, keep = keep && offsets.nonEmpty)
-        out = null; k += 1
-      }
+            s"docs shard $s ids not contiguous: [$minId,$maxId] for ${offsets.length} rows")
+          results += ((s, minId, offsets.length, recordBytes, dlSum, dlMin))
+        })
       try {
         for (dm <- it) {
           val ub = dm.url.getBytes("UTF-8")
-          val len = 12L + ub.length
-          if (out == null) openRoll()
-          // file size = records + 8 B of offset table per record
-          else if (offsets.nonEmpty &&
-                   pos + 8L * offsets.length + len + 8L > maxShardBytes) {
-            closeRoll(keep = true); openRoll()
-          }
+          val (_, off) = roll.add(12L + ub.length)
           if (dm.doc_id < minId) minId = dm.doc_id
           if (dm.doc_id > maxId) maxId = dm.doc_id
           dlSum += dm.dl
           if (dm.dl < dlMin) dlMin = dm.dl
-          offsets += pos
+          offsets += off
+          val out = roll.stream
           out.writeLong(dm.dl); out.writeInt(ub.length); out.write(ub)
-          pos += len
         }
-        closeRoll(keep = true)
-      } catch { case e: Throwable => closeRoll(keep = false); throw e }
+        roll.finish()
+      } catch { case e: Throwable => roll.abort(); throw e }
       results.iterator
     }.collect().sortBy(_._2)
     val didx = new DataOutputStream(new BufferedOutputStream(
@@ -405,47 +398,28 @@ object DirectIndex {
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, String, String)]
-        var rollK = 0
-        var out: DataOutputStream = null; var tmp: File = null; var name: String = null
         var keys = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
-        var pos = 0L
-        def openRoll(): Unit = {
-          name = s"pages-${sid(pid, rollK)}.bin"
-          tmp = attemptFile(dirAbs, name)
-          out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
-          keys = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
-          pos = 0L
-        }
-        def closeRoll(keep: Boolean): Unit = if (out != null) {
-          try if (keep && keys.nonEmpty) {
-            val tablePos = pos
+        // file size = records + (40-byte key + 8-byte offset) per record
+        val roll = new RollingShard(dirAbs, "pages", pid, maxShardBytes, PageKeyWidth + 8L,
+          onOpen = () => keys = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)],
+          onClose = (s, recordBytes, out) => {
             for ((kb, off) <- keys) { out.write(kb); out.writeLong(off) }
-            results += ((sid(pid, rollK), keys.length, tablePos,
+            results += ((s, keys.length, recordBytes,
               new String(keys.head._1, "UTF-8"), new String(keys.last._1, "UTF-8")))
-          } finally out.close()
-          commitShardFile(tmp, dirAbs, name, keep = keep && keys.nonEmpty)
-          out = null; rollK += 1
-        }
+          })
         try {
           for ((k, html) <- it) {
             val kb = k.getBytes("UTF-8")
             require(kb.length == PageKeyWidth,
               s"page key '$k' is not a ${PageKeyWidth}-byte reference row-key hash")
             val hb = html.getBytes("UTF-8")
-            val len = 4L + hb.length
-            val tail = PageKeyWidth + 8L // table bytes per record
-            if (out == null) openRoll()
-            // file size = records + (40-byte key + 8-byte offset) per record
-            else if (keys.nonEmpty &&
-                     pos + tail * keys.length + len + tail > maxShardBytes) {
-              closeRoll(keep = true); openRoll()
-            }
-            keys += ((kb, pos))
+            val (_, off) = roll.add(4L + hb.length)
+            keys += ((kb, off))
+            val out = roll.stream
             out.writeInt(hb.length); out.write(hb)
-            pos += len
           }
-          closeRoll(keep = true)
-        } catch { case e: Throwable => closeRoll(keep = false); throw e }
+          roll.finish()
+        } catch { case e: Throwable => roll.abort(); throw e }
         results.iterator
       }.collect()
       // order shards by RAW KEY BYTES — the same unsigned-byte order the
@@ -491,35 +465,25 @@ object DirectIndex {
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
-        var rollK = 0
-        var out: DataOutputStream = null; var tmp: File = null; var name: String = null
-        var n = 0; var firstKey: String = null; var lastKey: String = null
-        def openRoll(): Unit = {
-          name = s"ranks-${sid(pid, rollK)}.bin"
-          tmp = attemptFile(dirAbs, name)
-          out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
-          n = 0; firstKey = null; lastKey = null
-        }
-        def closeRoll(keep: Boolean): Unit = if (out != null) {
-          try if (keep && n > 0) results += ((sid(pid, rollK), n, firstKey, lastKey))
-          finally out.close()
-          commitShardFile(tmp, dirAbs, name, keep = keep && n > 0)
-          out = null; rollK += 1
-        }
+        var firstKey: String = null; var lastKey: String = null
+        // fixed-width rows: the file is ONE table, record count = bytes/rowW
+        val roll = new RollingShard(dirAbs, "ranks", pid, maxShardBytes, 0L,
+          onOpen = () => { firstKey = null; lastKey = null },
+          onClose = (s, recordBytes, _) =>
+            results += ((s, (recordBytes / rowW).toInt, firstKey, lastKey)))
         try {
           for ((k, rank) <- it) {
             val kb = k.getBytes("UTF-8")
             require(kb.length == PageKeyWidth,
               s"rank key '$k' is not a ${PageKeyWidth}-byte reference row-key hash")
-            if (out == null) openRoll()
-            else if (n > 0 && (n + 1L) * rowW > maxShardBytes) { closeRoll(keep = true); openRoll() }
+            val _ = roll.add(rowW)
             if (firstKey == null) firstKey = k
             lastKey = k
+            val out = roll.stream
             out.write(kb); out.writeLong(java.lang.Double.doubleToLongBits(rank))
-            n += 1
           }
-          closeRoll(keep = true)
-        } catch { case e: Throwable => closeRoll(keep = false); throw e }
+          roll.finish()
+        } catch { case e: Throwable => roll.abort(); throw e }
         results.iterator
       }.collect()
       .sortWith((a, b) => java.util.Arrays.compareUnsigned(
@@ -858,9 +822,12 @@ final class DirectRanks private (dir: String) {
 
   /** The blend function [[Searcher.referenceTopK]] expects: postings carry
     * decoded urls; PageRank keys its scores by the PageRank-normalized self
-    * url; absent urls score 0.0 (the in-heap blend's `getOrElse`). */
+    * url; absent urls score 0.0 (the in-heap blend's `getOrElse`) —
+    * including urls `selfNormalize` rejects entirely (returns null for
+    * non-http(s) or scheme-less forms), which the in-heap map also misses. */
   val prFunction: String => Double =
-    url => rank(graft.util.RefHasher.hash(graft.rank.RefUrl.selfNormalize(url))).getOrElse(0.0)
+    url => Option(graft.rank.RefUrl.selfNormalize(url))
+      .flatMap(n => rank(graft.util.RefHasher.hash(n))).getOrElse(0.0)
 }
 
 object DirectRanks {

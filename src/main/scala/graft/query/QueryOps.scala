@@ -115,25 +115,30 @@ object QueryOps {
     if (cached != null) return cached
     val spark = built.docs.sparkSession
     import spark.implicits._
+    // persisted across the two actions (count, then collect-or-bloom) so
+    // the per-row classifyUrl scan runs once, not twice
     val flagged = built.docs
       .map(d => (d.doc_id, classifyUrl(d.url)))
       .filter(_._2 != 0)
-    val cnt = flagged.count()
-    val v: Hygiene =
-      if (forceBloom || cnt > HygieneSetCap) {
-        // ONE filter over all flagged ids (skip + throw): a hit only marks a
-        // SUSPECT — the exact class comes from the per-term verify join, so
-        // there is nothing to gain from separate skip/throw filters
-        val bf = flagged.toDF("doc_id", "cls")
-          .stat.bloomFilter("doc_id", math.max(cnt, 1L), 0.001)
-        BloomScreen(bf, cnt)
-      } else {
-        val arr = flagged.collect()
-        ExactSets(arr.collect { case (id, 1) => id }.toSet,
-                  arr.collect { case (id, 2) => id }.toSet)
-      }
-    cache.put(built, v)
-    v
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = flagged.count()
+      val v: Hygiene =
+        if (forceBloom || cnt > HygieneSetCap) {
+          // ONE filter over all flagged ids (skip + throw): a hit only marks a
+          // SUSPECT — the exact class comes from the per-term verify join, so
+          // there is nothing to gain from separate skip/throw filters
+          val bf = flagged.toDF("doc_id", "cls")
+            .stat.bloomFilter("doc_id", math.max(cnt, 1L), 0.001)
+          BloomScreen(bf, cnt)
+        } else {
+          val arr = flagged.collect()
+          ExactSets(arr.collect { case (id, 1) => id }.toSet,
+                    arr.collect { case (id, 2) => id }.toSet)
+        }
+      cache.put(built, v)
+      v
+    } finally flagged.unpersist()
   }
 
   /** SINGLE-query reference scorer as a Dataset job — a batch of one.
@@ -193,14 +198,25 @@ object QueryOps {
     // materializes the cache) and every consumer — the point-fetch id set,
     // the fan-out join, the url join — reads the cached Dataset. The
     // ContextCleaner unpersists it when the result's plan is GC'd.
-    val postings = (hygieneOf(built, forceBloomHygiene) match {
+    val (walkDf, walkScratch) = hygieneOf(built, forceBloomHygiene) match {
       case ExactSets(skipIds, throwIds) =>
-        walkTermPostings(spark, built, liveTerms, termStats, skipIds, throwIds)
+        (walkTermPostings(spark, built, liveTerms, termStats, skipIds, throwIds), None)
       case bs: BloomScreen =>
-        bloomWalkTermPostings(spark, built, liveTerms, termStats, bs)
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val walkedCount = postings.count()
-    if (walkedCount == 0) { postings.unpersist(); return emptyResult }
+        val (df, raw) = bloomWalkTermPostings(spark, built, liveTerms, termStats, bs)
+        (df, Some(raw))
+    }
+    val postings = walkDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE action both materializes the cache and answers every driver-side
+    // branch question: the distinct touched ids, cut off at threshold+1 —
+    // so the driver transit is bounded by isinThreshold regardless of
+    // corpus, vocabulary, or batch size (the distinct's scan side still
+    // reads every postings partition, so the cache is fully built)
+    val ids = postings.select($"doc_id").distinct().as[Long].take(isinThreshold + 1)
+    // the bloom path's stage-1 suspect walk was its own persisted scratch;
+    // once `postings` is materialized above it is dead weight — drop it now
+    // instead of waiting for the ContextCleaner
+    walkScratch.foreach(_.unpersist())
+    if (ids.isEmpty) { postings.unpersist(); return emptyResult }
 
     // fan each term's walked postings out to its queries; the expansion
     // table is always tiny (queries × terms rows)
@@ -216,13 +232,10 @@ object QueryOps {
       try java.net.URLDecoder.decode(u.trim, "UTF-8")
       catch { case _: Exception => null })
     val joined =
-      if (walkedCount <= isinThreshold) {
+      if (ids.length <= isinThreshold) {
         // point fetch: In-filter pushdown prunes the doc_id-sorted docs
         // table to the touched row groups; the url slice (≤ ids rows) is
-        // the broadcast side — NOT the batch-sized scored side. Only the
-        // distinct TOUCHED IDS transit the driver here, and only in this
-        // branch, where their count is ≤ isinThreshold by construction.
-        val ids = postings.select($"doc_id").distinct().as[Long].collect()
+        // the broadcast side — NOT the batch-sized scored side
         val urls = built.docs.select($"doc_id", decodeUrl($"url").as("url"))
           .filter($"doc_id".isin(ids.toIndexedSeq: _*))
         contrib.join(broadcast(urls), Seq("doc_id"))
@@ -327,10 +340,12 @@ object QueryOps {
     *     term (a throw first encountered at clean ≥ 200 is past the
     *     reference's loop bound and must NOT abort), stop at 200.
     */
+  /** Returns (final walked postings, the stage-1 scratch DataFrame) — the
+    * caller unpersists the scratch after materializing the result. */
   private[query] def bloomWalkTermPostings(spark: SparkSession, built: BuiltIndex,
                                     terms: Seq[String],
                                     termStats: Map[String, (Double, Int)],
-                                    screen: BloomScreen): DataFrame = {
+                                    screen: BloomScreen): (DataFrame, DataFrame) = {
     import spark.implicits._
     val statsB = spark.sparkContext.broadcast(termStats)
     val bloomB = spark.sparkContext.broadcast(screen.filter)
@@ -383,7 +398,7 @@ object QueryOps {
       .select($"doc_id", classify($"url").as("cls"))
 
     // stage 3: ordered per-term replay with exact classes
-    raw.join(broadcast(resolved), Seq("doc_id"), "left")
+    val walked = raw.join(broadcast(resolved), Seq("doc_id"), "left")
       .select($"term", $"doc_id", $"raw_idx", $"base",
         coalesce($"cls", lit(0)).as("cls"))
       .as[(String, Long, Int, Double, Int)]
@@ -405,5 +420,6 @@ object QueryOps {
         }
         if (aborted) Iterator.empty else out.result().iterator
       }.toDF("term", "doc_id", "rank", "base")
+    (walked, raw)
   }
 }

@@ -389,10 +389,13 @@ object Searcher {
     val blocks = built.blocks.collect()
       .groupBy(_.term)
       .map { case (t, bs) => t -> bs.sortBy(b => (b.part_id, b.seq)).toIndexedSeq }
-    val numDocs = built.docs.count()
     // loud cliff, like the engine's Fnv/collision guards: this eager tier
     // array-indexes by doc_id.toInt, so it is bounded at 2^31 docs — past
-    // that, serve from DirectSearcher (mmap shards) or LazySearcher instead
+    // that, serve from DirectSearcher (mmap shards) or LazySearcher instead.
+    // The count() is one extra narrow job over the (session-persisted) docs
+    // — the price of failing with THIS message instead of the driver OOM a
+    // 2-billion-row collect() would die with
+    val numDocs = built.docs.count()
     require(numDocs < Int.MaxValue,
       s"eager Searcher tier holds doc arrays in driver memory and is bounded at ${Int.MaxValue} docs " +
       s"(corpus has $numDocs); use DirectSearcher or LazySearcher for larger corpora")

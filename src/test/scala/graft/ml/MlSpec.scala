@@ -197,6 +197,37 @@ class MlSpec extends AnyFunSuite {
     assert(c0.length == 4 && c0.forall(ci => ci >= 0 && ci < 8))
   }
 
+  test("connected components match local union-find on a random graph") {
+    import spark.implicits._
+    // deterministic random graph: 120 nodes, sparse edges → mix of
+    // singleton-free components, chains, and merged clusters
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 150).map(_ => (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    // plus an explicit LONG CHAIN (diameter 40) — pointer jumping must
+    // converge it well inside maxIter where plain label prop needs 40 rounds
+    val chain = (1000L until 1040L).map(i => (i, i + 1))
+    val pairs = spark.createDataset(edges ++ chain).toDF("a", "b")
+    val got = graft.ml.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // local union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges ++ chain) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (edges ++ chain).flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(x => x -> find(x)).toMap
+    assert(got == want)
+    // the chain collapsed to one component rooted at its min id
+    assert((1000L to 1040L).forall(i => got(i) == 1000L))
+  }
+
   test("language id heuristic") {
     assert(TextAnalysis.langIdOf("the cat and the dog was in the house") == "en")
     assert(TextAnalysis.langIdOf("der hund und die katze ist nicht da") == "de")
