@@ -780,6 +780,30 @@ object SparkEntry {
       dumpAux(pairs, "q47_pairs")
       graft.ml.Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp").as("component"))
+    }),
+
+    // ---- sequence packing: documents → fixed-token-budget training shards
+    // in global id order, computed as a TWO-PHASE distributed prefix sum
+    // (range partitions → one sum row per partition → broadcast offsets),
+    // never a one-task global window. The oracle is the literal global
+    // window cumsum the two-phase scan must equal. ----
+    "q48_seq_packing" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      graft.ml.TextAnalysis.packSequences(doc, "doc_id",
+        graft.ml.TextAnalysis.wsTokenCount(col("text")), maxTokens = 1024L)
+    }),
+
+    // ---- training-mix curation: stratified top-25-by-quality per language
+    // (the C4/Gopher-style cheap filters ranked within each stratum; ties
+    // broken by doc_id; ranking on the ROUNDED score both engines compute
+    // identically — q20 pins the rounded values corpus-wide) ----
+    "q49_quality_stratified" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val scored = doc.select(col("doc_id"), col("lang"),
+        round(graft.ml.TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)
     })
   )
 
@@ -1190,6 +1214,53 @@ object SparkEntry {
          )
          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
          FROM reach GROUP BY id""",
+
+    // q48: the literal global window cumsum the distributed two-phase
+    // prefix sum must equal exactly
+    "q48_seq_packing" ->
+      """WITH tc AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+           FROM tc)
+         SELECT doc_id, n_tokens,
+                CAST(before // 1024 AS BIGINT) AS pack_id,
+                CAST(before % 1024 AS BIGINT) AS pack_offset
+         FROM c""",
+
+    // q49: per-language quality ranking on the SAME rounded score q20 pins
+    "q49_quality_stratified" ->
+      """WITH m AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|was|for|on|that|with|as|it)\b')) AS stopwords,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+             END AS praw,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         q AS (
+           SELECT doc_id, round((
+             (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN ntok = 0 THEN 0.0
+                   WHEN stopwords * 1.0 / ntok > 0.05 THEN 1.0
+                   ELSE (stopwords * 1.0 / ntok) * 20 END) +
+             (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END)
+           ) / 3.0, 4) AS quality
+           FROM m),
+         j AS (
+           SELECT q.doc_id, d.lang, q.quality,
+                  row_number() OVER (PARTITION BY d.lang
+                    ORDER BY q.quality DESC, q.doc_id ASC) AS rnk
+           FROM q JOIN documents d USING (doc_id))
+         SELECT doc_id, lang, quality, CAST(rnk AS INTEGER) AS rank
+         FROM j WHERE rnk <= 25""",
 
     // q46 = the batch sessionization oracle VERBATIM: the production
     // EventTimeTimeout sessionizer (watermark flush, no per-user

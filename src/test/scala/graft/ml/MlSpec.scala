@@ -228,6 +228,38 @@ class MlSpec extends AnyFunSuite {
     assert((1000L to 1040L).forall(i => got(i) == 1000L))
   }
 
+  test("sequence packing equals a sequential cumsum at any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 500L).map(i => (i, (1 + rng.nextInt(400)).toLong))
+    val docs = rows.toDF("doc_id", "nt")
+    // sequential reference: exact running token count in id order
+    val want = {
+      var run = 0L
+      rows.map { case (id, n) =>
+        val r = (id, n, run / 512L, run % 512L); run += n; r
+      }
+    }
+    for (p <- Seq(1, 3, 7, 16)) {
+      val got = graft.ml.TextAnalysis
+        .packSequences(docs, "doc_id", col("nt"), 512L, parts = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"packing diverged at parts=$p")
+      // a downstream coalesce(1) (Verify's write path) FUSES phase 2 into
+      // one task — the partition identity must come from the data, not
+      // TaskContext, or every partition re-seeds from offset 0
+      val fused = graft.ml.TextAnalysis
+        .packSequences(docs, "doc_id", col("nt"), 512L, parts = p)
+        .coalesce(1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(fused == want, s"packing diverged under coalesce(1) at parts=$p")
+    }
+    // a pack never starts beyond the budget and offsets stay inside it
+    assert(want.forall(_._4 < 512L))
+  }
+
   test("language id heuristic") {
     assert(TextAnalysis.langIdOf("the cat and the dog was in the house") == "en")
     assert(TextAnalysis.langIdOf("der hund und die katze ist nicht da") == "de")
