@@ -804,7 +804,17 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)
-    })
+    }),
+
+    // ---- REAL video decode (retires the LAST codec stub): deterministic
+    // indexed-palette frames → REAL multi-frame animated-GIF encode
+    // (ImageIO sequence writer) → frame explosion from the BYTES ALONE
+    // (sequence reader, per-frame grayscale sums). The palette round-trips
+    // losslessly, so the oracle recomputes the exact integer sums from the
+    // generator formulas in pure SQL. ----
+    "q50_video_frames" -> ((s, _) =>
+      graft.ml.MediaCodec.explodeVideoFrames(
+        graft.ml.MediaCodec.generateVideos(s, 120)).toDF())
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1261,6 +1271,22 @@ object SparkEntry {
            FROM q JOIN documents d USING (doc_id))
          SELECT doc_id, lang, quality, CAST(rnk AS INTEGER) AS rank
          FROM j WHERE rnk <= 25""",
+
+    // q50: pure-SQL recompute of the per-frame pixel sums from the
+    // closed-form generator formulas (MediaCodec.vidPixel / vidParams) —
+    // the Spark side must get there by decoding REAL animated-GIF bytes
+    "q50_video_frames" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 119)) AS id),
+         v0 AS (SELECT id, 2 + id % 4 AS frames,
+                       8 + (id * 3) % 16 AS w, 8 + (id * 5) % 10 AS h
+                FROM ids),
+         v1 AS (SELECT *, unnest(generate_series(0, frames - 1)) AS f FROM v0),
+         v2 AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM v1),
+         v3 AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM v2)
+         SELECT id AS asset_id, CAST(f AS INTEGER) AS frame,
+                CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                CAST(sum((id * 7 + f * 11 + x * 3 + y * 5) % 256) AS BIGINT) AS checksum
+         FROM v3 GROUP BY id, f, w, h""",
 
     // q46 = the batch sessionization oracle VERBATIM: the production
     // EventTimeTimeout sessionizer (watermark flush, no per-user

@@ -131,6 +131,9 @@ object MediaCodec {
     else if (media.length >= 12 && media(0) == 'R' && media(1) == 'I' &&
         media(2) == 'F' && media(3) == 'F' && media(8) == 'W' &&
         media(9) == 'A' && media(10) == 'V' && media(11) == 'E') "wav"
+    else if (media.length >= 6 && media(0) == 'G' && media(1) == 'I' &&
+        media(2) == 'F' && media(3) == '8' &&
+        (media(4) == '7' || media(4) == '9') && media(5) == 'a') "gif"
     else "unknown"
 
   /** Decode an image through ImageIO and sum decoded channel values —
@@ -190,6 +193,8 @@ object MediaCodec {
   def decode(id: Long, media: Array[Byte]): DecodedMedia = sniff(media) match {
     case "wav"     => decodeWav(id, media)
     case f @ ("png" | "bmp") => decodeImage(id, f, media)
+    case "gif"     => throw new IllegalArgumentException(
+      s"asset $id is a multi-frame GIF video — use decodeVideo/explodeVideoFrames")
     case other     => throw new IllegalArgumentException(s"asset $id: unsupported container $other")
   }
 
@@ -202,6 +207,106 @@ object MediaCodec {
     assets.mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map(a => decode(a.asset_id, a.media))
+    }
+  }
+
+  // -------------------------------------------------------- video (animated GIF)
+  //
+  // The VIDEO modality on a real pure-JVM container format: animated GIF —
+  // ImageIO writes and reads multi-frame sequences natively. Frames are
+  // INDEXED-palette (256 grayscale entries), so encoding is lossless and
+  // the decoded per-frame pixel sums are exact integers the SQL oracle can
+  // recompute from the generator formulas — same contract as the stills.
+  // (Inter-frame-compressed codecs — H.264/VP9 — need native libraries this
+  // container doesn't have; the GIF path is the honest JDK-native video.)
+
+  /** Frame count 2-5, per-id frame dims 8-23 × 8-17. */
+  def vidParams(id: Long): (Int, Int, Int) =
+    ((2 + id % 4).toInt, (8 + (id * 3) % 16).toInt, (8 + (id * 5) % 10).toInt)
+
+  /** Palette index of pixel (x, y) in frame f — grayscale value ∈ [0,255]. */
+  def vidPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 7 + f * 11 + x * 3 + y * 5) % 256).toInt
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Render the formula frames and push them through the REAL ImageIO GIF
+    * sequence writer (one multi-frame animated GIF per asset). */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val (frames, w, h) = vidParams(id)
+    val bos = new ByteArrayOutputStream()
+    val out = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, vidPixel(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** One decoded video frame: exact integer pixel sum over the frame. */
+  final case class VideoFrame(asset_id: Long, frame: Int, width: Int,
+                              height: Int, checksum: Long)
+
+  /** REAL video decode from the bytes alone: open the GIF sequence reader,
+    * count frames, sum each frame's decoded grayscale values (the palette
+    * round-trips losslessly, so sums equal the generator formulas). */
+  def decodeVideo(id: Long, media: Array[Byte]): Seq[VideoFrame] = {
+    require(sniff(media) == "gif", s"asset $id: not a GIF container")
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(media))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(in, false)
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+          y += 1
+        }
+        VideoFrame(id, f, w, h, sum)
+      }
+    } finally { reader.dispose(); in.close() }
+  }
+
+  /** Frame-explosion over a video table (one input row → one row per
+    * decoded frame) — the mapInPandas-style shape, decoder per partition. */
+  def explodeVideoFrames(videos: Dataset[RealAsset]): Dataset[VideoFrame] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap(a => decodeVideo(a.asset_id, a.media))
+    }
+  }
+
+  /** Deterministic animated-GIF video table. */
+  def generateVideos(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[RealAsset] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map(id => RealAsset(id, "gif", encodeVideo(id)))
     }
   }
 }

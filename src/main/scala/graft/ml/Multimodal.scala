@@ -14,17 +14,17 @@ final case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
 /** Multimodal-column plumbing: schema, partitioning, batch shape, and
   * feature-extraction pipeline over opaque `binary` media columns.
   *
-  * REAL image (PNG/BMP via `javax.imageio`) and audio (WAV RIFF/PCM)
-  * codecs live in [[MediaCodec]] (driver-oracled as q45). The
-  * deterministic stub here remains ONLY for the video modality, where no
-  * pure-JVM decoder exists in this container: [[decodeStub]] "decodes" a
-  * fake header instead of real frames. Everything around the stub — the
-  * typed schema, the mapPartitions batch shape (mirroring a
-  * Pandas-UDF/Arrow batch boundary: per-partition iterator, decoder state
-  * reused across rows, no per-row library init), column pruning (media
-  * bytes are only read in the decode stage) — is real and tested, so
-  * swapping in a real video decoder is a one-function change, exactly as
-  * it was for the image/audio paths.
+  * REAL codecs live in [[MediaCodec]]: PNG/BMP images and WAV audio
+  * (driver-oracled as q45) and multi-frame animated-GIF video with frame
+  * explosion (q50) — all pure-JVM `javax.imageio`/hand-rolled, no native
+  * libraries. The deterministic stub here remains ONLY as the documented
+  * seam for inter-frame-compressed codecs (H.264/VP9/AAC), which require
+  * native decoders this offline container cannot install; the plumbing the
+  * stub exercises — the typed schema, the mapPartitions batch shape
+  * (mirroring a Pandas-UDF/Arrow batch boundary: per-partition iterator,
+  * decoder state reused across rows, no per-row library init), column
+  * pruning (media bytes are only read in the decode stage) — is the same
+  * plumbing the real codecs run on.
   */
 object Multimodal {
 
