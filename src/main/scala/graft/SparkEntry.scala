@@ -778,7 +778,9 @@ object SparkEntry {
         .union(doc.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("a"), (col("doc_id") + 23).as("b")))
       dumpAux(pairs, "q47_pairs")
-      graft.ml.Dedup.connectedComponents(pairs)
+      // cluster over the DUMPED pairs — one compute of the generator plan,
+      // and the component input is byte-identical to the oracle's
+      graft.ml.Dedup.connectedComponents(s.read.parquet(s"${auxDir}/q47_pairs"))
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
 
@@ -799,8 +801,9 @@ object SparkEntry {
     // identically — q20 pins the rounded values corpus-wide) ----
     "q49_quality_stratified" -> ((s, d) => {
       val doc = t(s, d, "documents")
+      // qualityScore already rounds to 4 decimals (the q20-pinned values)
       val scored = doc.select(col("doc_id"), col("lang"),
-        round(graft.ml.TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        graft.ml.TextAnalysis.qualityScore(col("text")).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 25)

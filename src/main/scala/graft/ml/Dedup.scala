@@ -333,6 +333,10 @@ object Dedup {
         .join(comp.select(col("id").as("oid"), col("comp").as("ocomp")),
           col("n.id") === col("oid"))
         .filter(col("n.comp") =!= col("ocomp")).count()
+      // the superseded round's checkpoint is dead once `changed` is
+      // computed — drop it NOW (PageRank.run's per-round discipline), not
+      // when the ContextCleaner eventually notices
+      comp.unpersist()
       comp = jumped
       converged = changed == 0
       iter += 1

@@ -155,8 +155,13 @@ object TextAnalysis {
     val ob = spark.sparkContext.broadcast(offsets)
     // phase 2: running count re-seeded from the broadcast offsets at every
     // pid change in the DATA — correct whether this stage runs one task
-    // per partition or fused/concatenated under a downstream coalesce
-    narrow.mapPartitions { it =>
+    // per partition or fused/concatenated under a downstream coalesce.
+    // The result is eagerly localCheckpoint-ed so (a) the corpus-sized
+    // `narrow` cache can be dropped HERE instead of lingering until the
+    // ContextCleaner notices, and (b) a later cache eviction can never
+    // recompute the range partitioning with resampled boundaries under
+    // stale offsets — the materialized result is immutable.
+    val result = narrow.mapPartitions { it =>
       var curPid = Int.MinValue
       var running = 0L
       it.map { case (id, n, pid) =>
@@ -166,5 +171,8 @@ object TextAnalysis {
         (id, n, before / maxTokens, before % maxTokens)
       }
     }.toDF(idCol, "n_tokens", "pack_id", "pack_offset")
+      .localCheckpoint()
+    narrow.unpersist()
+    result
   }
 }

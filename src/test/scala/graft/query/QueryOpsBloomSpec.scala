@@ -58,7 +58,9 @@ class QueryOpsBloomSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
     val exact = rows(QueryOps.walkTermPostings(spark, built, liveTerms, stats, skip, thr))
-    val bloom = rows(QueryOps.bloomWalkTermPostings(spark, built, liveTerms, stats, screen)._1)
+    val (bloomDf, scratch) = QueryOps.bloomWalkTermPostings(spark, built, liveTerms, stats, screen)
+    val bloom = rows(bloomDf)
+    scratch.unpersist() // the caller's contract: drop the stage-1 cache once consumed
     assert(exact.nonEmpty)
     assert(bloom == exact,
       s"bloom-walk drift: missing=${(exact -- bloom).take(3)} extra=${(bloom -- exact).take(3)}")
