@@ -80,4 +80,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") && plan.contains("partial"),
       s"expected partial hash aggregation:\n$plan")
   }
+
+  test("q48 sequence packing stays distributed — no one-task global window") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q48_seq_packing")(spark, sf)
+    // the two-phase prefix sum must leave the result range-partitioned,
+    // never collapsed through Window-over-SinglePartition
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "packing must not plan a window")
+    assert(df.rdd.getNumPartitions > 1,
+      s"expected multiple partitions, got ${df.rdd.getNumPartitions}")
+    // pid stamping kept partitions aligned: ids are range-ordered, so
+    // pack_id is globally nondecreasing in id order
+    val rows = df.orderBy(col("doc_id")).collect().map(_.getLong(2))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b },
+      "pack ids must be nondecreasing in id order")
+  }
+
+  test("q49 stratified ranking windows per language, not over one partition") {
+    val df = SparkEntry.queries("q49_quality_stratified")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"per-language window must hash-partition on lang, not collapse:\n$plan")
+  }
+
+  test("q50 video frame explosion is a narrow map — no shuffle") {
+    val plan = planOf("q50_video_frames")
+    assert(!plan.contains("Exchange"),
+      s"decode + frame explosion must not shuffle media bytes:\n$plan")
+  }
 }
