@@ -112,7 +112,7 @@ object SparkEntry {
     val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
     val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
       graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-        .iterator.collect { case (t, tf) if t.length <= 100 => (p.url, t, tf) }
+        .iterator.collect { case (t, tf) if t.length <= graft.text.Text.MaxTermLen => (p.url, t, tf) }
     }.toDF("url", "term", "tf")
     dumpAux(triples, name)
   }

@@ -40,7 +40,17 @@ final case class PostingBlock(term: String, part_id: Int, seq: Int, n: Int,
 
 final case class BuiltIndex(docs: Dataset[DocMeta],
                             dictionary: Dataset[DictEntry],
-                            blocks: Dataset[PostingBlock])
+                            blocks: Dataset[PostingBlock],
+                            scratch: Seq[Dataset[_]] = Nil) {
+  /** Unpersist every cached dataset this index pinned — the public
+    * artifacts AND the build-internal scratch (tokenized triples, sorted
+    * url sets, docmaps). Long-lived sessions that cycle indexes (segment
+    * merges, stream-ingest loops) call this instead of waiting for the
+    * ContextCleaner; a released index recomputes from lineage if touched
+    * again. */
+  def release(): Unit =
+    (scratch ++ Seq(docs, dictionary, blocks)).foreach(_.unpersist())
+}
 
 /** Distributed inverted-index build (SURVEY.md §7.2 step 4).
   *
@@ -96,6 +106,32 @@ object IndexBuild {
     (base ++ base.map(graft.text.PorterStemmer.stem)).distinct.sorted.toArray
   }
 
+  /** Per-partition row counts → exclusive prefix offsets for the dense
+    * doc-id assignment (the ONE copy shared by [[build]] and
+    * [[fromUrlTermTf]]). Returns (offsets indexed by partition id, total
+    * row count). */
+  private def partitionOffsets(sorted: org.apache.spark.sql.DataFrame,
+                               parts: Int): (Array[Long], Long) = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val counts = sorted.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val m = new Array[Long](parts); var acc = 0L
+    for ((pid, c) <- counts) { m(pid) = acc; acc += c }
+    (m, acc)
+  }
+
+  /** (tid asc, tf desc) packed into ONE radix-sortable long — tid in the
+    * high 32 bits, bit-flipped tf in the low 32; the single pack/unpack
+    * pair both build paths sort the heavy shuffle with. */
+  private val PackBase = 1L << 32
+  private def packKeyCol(tid: org.apache.spark.sql.Column,
+                         tf: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    tid.cast("long") * PackBase + (lit(Int.MaxValue.toLong) - tf)
+  private def unpackKey(key: Long, docId: Long): (Int, Long, Int) =
+    ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
+
   /** Build from pages — the PRIMITIVE-TRIPLE fast path. Tokenization is
     * still one narrow map over the source (page bytes never shuffled), but
     * what gets persisted is (urlHash: long, tid: int, tf: int) plus each
@@ -126,7 +162,7 @@ object IndexBuild {
       var first = true
       counts.iterator.collect {
         // >100-char term guard, reference jobs/Indexer.java:98-100
-        case (term, tf) if term.length <= 100 =>
+        case (term, tf) if term.length <= Text.MaxTermLen =>
           val tid = termIdx.value.getOrElse(term,
             throw new IllegalStateException(
               s"term '$term' outside the lexicon-closed universe — open-vocabulary " +
@@ -145,13 +181,7 @@ object IndexBuild {
     val urls = hashed.filter($"url".isNotNull).select($"h", $"url").distinct()
       .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = urls.mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = {
-      val m = new Array[Long](parts); var acc = 0L
-      for ((pid, c) <- counts) { m(pid) = acc; acc += c }; m
-    }
+    val (offsets, numDocs) = partitionOffsets(urls, parts)
     val offB = spark.sparkContext.broadcast(offsets)
     val docmap = urls.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
@@ -161,7 +191,6 @@ object IndexBuild {
         (id, r.getLong(0), r.getString(1))
       }
     }.toDF("doc_id", "h", "url").persist(StorageLevel.MEMORY_AND_DISK)
-    val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
     // a 64-bit hash collision between two distinct urls would silently merge
     // docs — verify up front, fail loudly (expected collisions ≈ n²/2^65)
     val hDistinct = docmap.select($"h").distinct().count()
@@ -177,25 +206,34 @@ object IndexBuild {
     val idSide = docmap.select($"h", $"doc_id")
     val keyed = hashed
       .join(if (numDocs <= broadcastDocLimit) broadcast(idSide) else idSide, Seq("h"))
-      .select(($"tid".cast("long") * 4294967296L +
-        (lit(Int.MaxValue.toLong) - $"tf")).as("key"), $"doc_id")
+      .select(packKeyCol($"tid", $"tf").as("key"), $"doc_id")
     val blocks = keyed
       .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
       .sortWithinPartitions($"key".asc, $"doc_id".asc)
       .as[(Long, Long)]
       .mapPartitions { it =>
-        encodeBlocks(it.map { case (key, docId) =>
-          ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
-        }, blockSize, termOf.value)
+        encodeBlocks(it.map((unpackKey _).tupled), blockSize, termOf.value)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dictionary = blocks.groupBy($"term")
       .agg(sum($"n").as("df"), max($"max_tf").as("max_tf")).as[DictEntry]
-    val dl = hashed.groupBy($"h").agg(sum($"tf").as("dl"))
+    // dl rides the same agg as the duplicate-url guard: the reference's KVS
+    // is KEYED by url (one body per url, re-crawls overwrite), so two input
+    // pages sharing a url violate this build's contract — identical copies
+    // would crash the varbyte strictly-ascending check, near-identical ones
+    // would silently double df/dl and score the url twice. Fail loudly and
+    // point at the resolvers.
+    val dl = hashed.groupBy($"h").agg(sum($"tf").as("dl"),
+      count(when($"url".isNotNull, 1)).as("n_pages"))
+    val dupUrls = dl.filter($"n_pages" > 1).count()
+    require(dupUrls == 0,
+      s"$dupUrls urls appear on multiple input pages — one body per url (the reference " +
+      "KVS row-key contract); merge re-crawls with StreamIngest.mergeStreamed " +
+      "(last-write-wins) or dedup with Dedup.exactDedup before building")
     val docs = docmap.select($"doc_id", $"h", $"url").join(dl, Seq("h"), "left")
       .na.fill(0L, Seq("dl"))
       .select($"doc_id", $"url", $"dl").as[DocMeta]
-    BuiltIndex(docs, dictionary, blocks)
+    BuiltIndex(docs, dictionary, blocks, scratch = Seq(hashed, urls, docmap))
   }
 
   /** Persist the index artifacts under `dir` as Iceberg-layout tables.
@@ -241,13 +279,7 @@ object IndexBuild {
     val urls = seg.select($"url").distinct()
       .repartitionByRange(parts, $"url").sortWithinPartitions($"url")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = urls.mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = {
-      val m = new Array[Long](parts); var acc = 0L
-      for ((pid, c) <- counts) { m(pid) = acc; acc += c }; m
-    }
+    val (offsets, numDocs) = partitionOffsets(urls, parts)
     val offB = spark.sparkContext.broadcast(offsets)
     val docmap = urls.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
@@ -258,7 +290,6 @@ object IndexBuild {
     // docmap join: broadcast while the map fits executor memory (sub-10M
     // docs ≈ <1 GB); beyond that fall back to a shuffle join (at 10^12 docs
     // the production layout bucket-joins on url instead)
-    val numDocs = if (counts.isEmpty) 0L else offsets(counts.last._1) + counts.last._2
     val docmapSide = if (numDocs <= 10_000_000L) broadcast(docmap) else docmap
 
     val postings = seg.join(docmapSide, Seq("url"))
@@ -304,15 +335,12 @@ object IndexBuild {
           termArr.toIndexedSeq.zipWithIndex).toDF("term", "tid")
         postings
           .join(broadcast(termDim), Seq("term")) // codegen'd: no typed lambda
-          .select(((($"tid".cast("long")) * 4294967296L) +
-            (lit(Int.MaxValue.toLong) - $"tf")).as("key"), $"doc_id")
+          .select(packKeyCol($"tid", $"tf").as("key"), $"doc_id")
           .repartitionByRange(parts, $"key".asc, $"doc_id".asc)
           .sortWithinPartitions($"key".asc, $"doc_id".asc)
           .as[(Long, Long)]
           .mapPartitions { it =>
-            encodeRuns[Int](it.map { case (key, docId) =>
-              ((key >>> 32).toInt, docId, Int.MaxValue - (key & 0xFFFFFFFFL).toInt)
-            }, blockSize, termOf.value(_))
+            encodeRuns[Int](it.map((unpackKey _).tupled), blockSize, termOf.value(_))
           }
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
@@ -321,7 +349,7 @@ object IndexBuild {
     val docs = docmap.join(
         postings.groupBy($"doc_id").agg(sum($"tf").as("dl")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("dl")).as[DocMeta]
-    BuiltIndex(docs, dictionary, blocks)
+    BuiltIndex(docs, dictionary, blocks, scratch = Seq(urls, postings))
   }
 
   /** Back-compat shim for callers holding primitive (tid, doc, tf) streams. */

@@ -26,16 +26,24 @@ object SegmentedIndex {
 
   final case class BuildReport(snapshotId: Long, rebuilt: Set[String], reused: Set[String])
 
-  /** Per-bucket order-independent input fingerprint: XOR-fold of per-page
-    * hashes (xxhash64 over url + html) + row count. Computed in one scan,
-    * no shuffle beyond the tiny per-bucket agg; XOR is order-independent and
-    * overflow-free under ANSI mode. */
+  /** Per-bucket order-independent input fingerprint: XOR-fold over the
+    * DISTINCT (page hash, multiplicity) pairs — each distinct page hash h
+    * (xxhash64 over url + html) with count c contributes
+    * xxhash64(h, c), so a page appearing an even number of times can NOT
+    * cancel out of the fold the way a plain xor of raw hashes would (two
+    * identical pages xor to 0, colliding every even-multiplicity input).
+    * XOR stays order-independent and overflow-free under ANSI mode; the
+    * extra groupBy is a partial-aggregated count over longs. Row count is
+    * appended as a second signal. */
   def fingerprints(pages: DataFrame, buckets: Int): Map[String, String] = {
     val withB = pages.select(
       pmod(xxhash64(col("url")), lit(buckets)).cast("int").as("bucket"),
       xxhash64(col("url"), col("html")).as("h"))
-    val rows = withB.groupBy(col("bucket"))
-      .agg(bit_xor(col("h")).as("fp"), count(lit(1)).as("n"))
+    val rows = withB.groupBy(col("bucket"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("bucket"))
+      .agg(bit_xor(xxhash64(col("h"), col("c"))).as("fp"),
+           sum(col("c")).cast("long").as("n"))
       .collect()
     val m = rows.map(r => r.getInt(0).toString -> s"${r.getLong(1)}_${r.getLong(2)}").toMap
     // buckets with zero pages still need a stable fingerprint
@@ -49,6 +57,16 @@ object SegmentedIndex {
   def buildSegments(spark: SparkSession, pages: org.apache.spark.sql.Dataset[Page],
                     lexicon: Set[String], dir: String, buckets: Int): BuildReport = {
     import spark.implicits._
+    // same input contract as IndexBuild.build: one body per url (the
+    // reference KVS row-key shape). Duplicate urls would tokenize twice into
+    // one merged doc id — crash on identical copies, silently double-count
+    // on near-identical ones. The check is a tiny url-count agg next to the
+    // fingerprint scan.
+    val dupUrls = pages.toDF().groupBy(col("url")).count()
+      .filter(col("count") > 1).count()
+    require(dupUrls == 0,
+      s"$dupUrls urls appear on multiple input pages — merge re-crawls with " +
+      "StreamIngest.mergeStreamed (last-write-wins) or dedup before building")
     val fps = fingerprints(pages.toDF(), buckets)
     val lex = spark.sparkContext.broadcast(lexicon)
     val (snap, rebuilt, reused) = TableIO.writeResumable(
@@ -66,7 +84,7 @@ object SegmentedIndex {
           .flatMap { case (url, html, bucket) =>
             graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
               .iterator.collect {
-                case (term, tf) if term.length <= 100 => (bucket, url, term, tf)
+                case (term, tf) if term.length <= graft.text.Text.MaxTermLen => (bucket, url, term, tf)
               }
           }.toDF("bucket", "url", "term", "tf")
       })
@@ -79,6 +97,8 @@ object SegmentedIndex {
             blockSize: Int = IndexBuild.DefaultBlockSize): BuiltIndex = {
     val seg = TableIO.read(spark, dir).select("url", "term", "tf")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    IndexBuild.fromUrlTermTf(spark, seg, parts, blockSize)
+    val b = IndexBuild.fromUrlTermTf(spark, seg, parts, blockSize)
+    // the segment cache is this merge's scratch too — release() drops it
+    b.copy(scratch = b.scratch :+ seg)
   }
 }

@@ -35,7 +35,7 @@ object Oracle {
     for ((url, html) <- pages) {
       val counts = Text.termCounts(url, html, lexicon)
       for ((term, tf) <- counts) {
-        if (term.length <= 100) // jobs/Indexer.java:98-100
+        if (term.length <= graft.text.Text.MaxTermLen) // jobs/Indexer.java:98-100
           inv.getOrElseUpdate(term, mutable.ArrayBuffer.empty) += ((url, tf))
       }
     }

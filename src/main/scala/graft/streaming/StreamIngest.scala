@@ -82,7 +82,7 @@ object StreamIngest {
           .flatMap { case (url, html) =>
             graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
               .iterator.collect {
-                case (term, tf) if term.length <= 100 => (url, term, tf)
+                case (term, tf) if term.length <= graft.text.Text.MaxTermLen => (url, term, tf)
               }
           }
           .toDF("url", "term", "tf")

@@ -132,16 +132,33 @@ object TableIO {
   /** Read a snapshot (default current) — time travel via `snapshotId`. An
     * empty snapshot (zero data files — e.g. an empty source committed by
     * [[writeResumable]]) reads as an empty DataFrame with the snapshot's
-    * recorded schema rather than Spark's zero-path inference error. */
+    * recorded schema rather than Spark's zero-path inference error.
+    *
+    * Partitioned tables read with `basePath` = the snapshot's data dir so
+    * the partition COLUMN is inferred from the `col=value` directories —
+    * without it, empty and non-empty snapshots of one table would present
+    * two different schemas (the recorded DDL includes the partition column;
+    * a bare leaf-file read strips it). Columns are then re-ordered to the
+    * recorded DDL (inference appends partition columns last). */
   def read(spark: SparkSession, dir: String,
            snapshotId: Option[Long] = None): DataFrame = {
-    val files = manifest(spark, dir, snapshotId)
+    val snap = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $dir"))
+    val files = manifest(spark, dir, Some(snap))
       .filter(_.path.nonEmpty) // skip synthetic empty-partition lineage rows
       .map(f => s"$dir/${f.path}")
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else {
-      val snap = snapshotId.orElse(currentSnapshotId(dir)).get
-      val ddl = snapshotMeta(spark, dir, snap).map(_.schema_ddl).getOrElse("")
+    val ddl = snapshotMeta(spark, dir, snap).map(_.schema_ddl).getOrElse("")
+    if (files.nonEmpty) {
+      val df = spark.read
+        .option("basePath", Paths.get(dir, "data", s"snap-$snap").toString)
+        .parquet(files: _*)
+      if (ddl.isEmpty) df
+      else {
+        val want = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
+          .filter(df.columns.contains)
+        df.select(want.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      }
+    } else {
       require(ddl.nonEmpty, s"empty snapshot $snap at $dir records no schema")
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ddl))

@@ -29,6 +29,13 @@ import scala.collection.mutable
   */
 object Text {
 
+  /** The reference's >100-char term guard (jobs/Indexer.java:98-100) — ONE
+    * named constant for every emit site (direct build, segmented build,
+    * streaming ingest, oracle, triples dumps); hand-synced copies of the
+    * literal previously risked divergence between build paths. */
+  val MaxTermLen = 100
+
+
   // PRECOMPILED patterns: String.replaceAll/split call Pattern.compile on
   // every invocation, and these run several times per page inside the
   // build's hottest loop (tokenize). Pattern.matcher(..).replaceAll and

@@ -38,7 +38,7 @@ object ScaleProbe {
         val id = offB.value(pid) + local
         local += 1
         graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-          .iterator.collect { case (term, tf) if term.length <= 100 =>
+          .iterator.collect { case (term, tf) if term.length <= graft.text.Text.MaxTermLen =>
             graft.index.TermPosting(term, id, tf) }
       }
     }
@@ -52,7 +52,7 @@ object ScaleProbe {
         val id = offB.value(pid) + local
         local += 1
         graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-          .iterator.collect { case (term, tf) if term.length <= 100 =>
+          .iterator.collect { case (term, tf) if term.length <= graft.text.Text.MaxTermLen =>
             graft.index.TermPosting(term, id, tf) }
       }
     }.persist(StorageLevel.DISK_ONLY)
