@@ -24,6 +24,64 @@ class SegmentedIndexSpec extends AnyFunSuite {
     scala.io.Source.fromInputStream(getClass.getResourceAsStream("/queries.txt"), "UTF-8")
       .getLines().toVector
 
+  test("duplicate input urls fail loudly in both build paths") {
+    import spark.implicits._
+    val pages = Corpus.generateLocal(30)
+    val withDup = spark.createDataset(pages :+ pages.head.copy(
+      html = (new String(pages.head.html, "UTF-8") + "<p>recrawled body</p>").getBytes("UTF-8")))
+    val e1 = intercept[IllegalArgumentException](
+      IndexBuild.build(spark, withDup, Corpus.lexicon, parts = 3, blockSize = 64))
+    assert(e1.getMessage.contains("multiple input pages"))
+    val dir = Files.createTempDirectory("segdup").toString
+    val e2 = intercept[IllegalArgumentException](
+      SegmentedIndex.buildSegments(spark, withDup, Corpus.lexicon, dir, 4))
+    assert(e2.getMessage.contains("multiple input pages"))
+  }
+
+  test("fingerprints distinguish even-multiplicity inputs (no xor cancellation)") {
+    import spark.implicits._
+    val p = Corpus.generateLocal(2)
+    // {P, P} vs {R, R}: both folded to 0 under plain xor-of-page-hashes —
+    // the stale-segment aliasing case; the multiplicity-mixed fold must
+    // separate them (and both from {P} and {P, R})
+    def fp(pages: Seq[graft.corpus.Page]) =
+      SegmentedIndex.fingerprints(spark.createDataset(pages).toDF(), 1)("0")
+    val pp = fp(Seq(p(0), p(0)))
+    val rr = fp(Seq(p(1), p(1)))
+    assert(pp != rr, "identical-pair inputs with different content must not collide")
+    assert(pp != fp(Seq(p(0))) && pp != fp(Seq(p(0), p(1))))
+  }
+
+  test("partitioned snapshots present one schema, empty or not, incl. the partition column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("segschema").toString
+    val (_, _, _) = TableIO.writeResumable(spark, dir, "t", "bucket",
+      Map("0" -> "a", "1" -> "b"),
+      _ => Seq((0, "u1", "t1", 1), (1, "u2", "t2", 2)).toDF("bucket", "url", "term", "tf"))
+    val nonEmpty = TableIO.read(spark, dir)
+    assert(nonEmpty.columns.toSeq == Seq("bucket", "url", "term", "tf"),
+      s"non-empty read schema: ${nonEmpty.columns.toSeq}")
+    assert(nonEmpty.select("bucket").distinct().count() == 2)
+    val dir2 = Files.createTempDirectory("segschema2").toString
+    TableIO.writeResumable(spark, dir2, "t", "bucket", Map("0" -> "a"),
+      _ => Seq.empty[(Int, String, String, Int)].toDF("bucket", "url", "term", "tf"))
+    val empty = TableIO.read(spark, dir2)
+    assert(empty.columns.toSeq == nonEmpty.columns.toSeq,
+      s"empty ${empty.columns.toSeq} vs non-empty ${nonEmpty.columns.toSeq}")
+  }
+
+  test("release() drops the index's persisted RDDs") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val b = IndexBuild.build(spark, Corpus.generate(spark, 100),
+      Corpus.lexicon, parts = 3, blockSize = 64)
+    b.blocks.count(); b.docs.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    b.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"release left ${spark.sparkContext.getPersistentRDDs.size} persisted RDDs (was $before)")
+  }
+
   test("segmented build + merge is rank-identical to the monolithic build; resume reuses clean buckets") {
     import spark.implicits._
     val dir = Files.createTempDirectory("segidx").toString
