@@ -111,8 +111,8 @@ object SparkEntry {
     import s.implicits._
     val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
     val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
-      graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-        .iterator.collect { case (t, tf) if t.length <= graft.text.Text.MaxTermLen => (p.url, t, tf) }
+      graft.text.Text.postings(p.url, new String(p.html, "UTF-8"), lex.value)
+        .map { case (t, tf) => (p.url, t, tf) }
     }.toDF("url", "term", "tf")
     dumpAux(triples, name)
   }
@@ -414,8 +414,11 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
       val assigned = graft.ml.Ann.ivfAssign(emb.filter(col("vec_id") > 0), "vec_id", "embedding", cents)
-      val probes = graft.ml.Ann.probeSet(cents, q, nProbe = 3)
-      graft.ml.Ann.ivfWrite(assigned, s"${auxDir}/q26_ivf")
+      graft.ml.Ann.ivfWrite(assigned, s"${auxDir}/q26_ivf", cents)
+      // probe via the centroids STORED WITH the layout (serving never
+      // retrains; the sidecar travels with the index)
+      val probes = graft.ml.Ann.probeSet(
+        graft.ml.Ann.readCentroids(s"${auxDir}/q26_ivf"), q, nProbe = 3)
       dumpAux(probes.toDF("centroid"), "q26_probe")
       s.read.parquet(s"${auxDir}/q26_ivf")
         .filter(col("centroid").isin(probes: _*))

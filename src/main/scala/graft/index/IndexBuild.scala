@@ -158,11 +158,9 @@ object IndexBuild {
     // rides on the page's FIRST row only (null elsewhere)
     val hashed = pages.flatMap { p =>
       val h = fnv1a64(p.url)
-      val counts = Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
       var first = true
-      counts.iterator.collect {
-        // >100-char term guard, reference jobs/Indexer.java:98-100
-        case (term, tf) if term.length <= Text.MaxTermLen =>
+      Text.postings(p.url, new String(p.html, "UTF-8"), lex.value).map {
+        case (term, tf) =>
           val tid = termIdx.value.getOrElse(term,
             throw new IllegalStateException(
               s"term '$term' outside the lexicon-closed universe — open-vocabulary " +

@@ -82,10 +82,8 @@ object SegmentedIndex {
           .select(col("url"), col("html"), col("bucket"))
           .as[(String, Array[Byte], Int)]
           .flatMap { case (url, html, bucket) =>
-            graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
-              .iterator.collect {
-                case (term, tf) if term.length <= graft.text.Text.MaxTermLen => (bucket, url, term, tf)
-              }
+            graft.text.Text.postings(url, new String(html, "UTF-8"), lex.value)
+              .map { case (term, tf) => (bucket, url, term, tf) }
           }.toDF("bucket", "url", "term", "tf")
       })
     BuildReport(snap, rebuilt, reused)

@@ -33,34 +33,70 @@ object Ann {
       .limit(k)
   }
 
-  /** Deterministic centroids: the C vectors with the smallest ids, refined
-    * by `iters` rounds of Lloyd assignment (fixed iteration count, no RNG).
-    * Seeding MUST be id-ordered, not `take(c)` — take returns the first rows
-    * in physical scan order, which shifts with file layout/parallelism/AQE,
-    * and nondeterministic seeds silently desynchronize recomputed centroids
-    * from an already-written routing table. */
+  /** L2-normalize (zero-norm vectors pass through as zeros — they are
+    * excluded from cosine ranking anyway, so their routing is moot). The
+    * final metric is COSINE, so all ROUTING distances run on unit vectors:
+    * cosine order ≡ L2 order on the unit sphere, whereas unnormalized L2
+    * routing sends a direction-aligned but longer vector to a far centroid
+    * the probe set never visits. */
+  private[ml] def unit(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    if (n == 0.0) v
+    else {
+      val s = 1.0 / math.sqrt(n)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * s; i += 1 }
+      out
+    }
+  }
+
+  /** Deterministic centroids over UNIT vectors (spherical k-means shape):
+    * the C vectors with the smallest ids seed, refined by `iters` rounds of
+    * Lloyd assignment (fixed iteration count, no RNG). Determinism is
+    * end-to-end: seeding is id-ordered (`take(c)` would return physical
+    * scan order, which shifts with layout/parallelism/AQE), and each
+    * round's per-centroid vector sums FOLD IN ID ORDER inside one task per
+    * centroid — a reduceByKey combine would reassociate FP additions with
+    * shuffle arrival order, letting recomputed centroids drift a ulp from
+    * an already-written routing table and flip near-boundary assignments. */
   def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int,
                 iters: Int = 3): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the seed take plus each Lloyd round re-reads the vectors
-    val vecs = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, unit(v.toArray).toSeq) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = df.orderBy(col(idCol).asc)
-      .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
-      .take(c).map(_.toArray)
+    var cents = vecs.orderBy($"_1".asc).take(c).map(_._2.toArray)
     for (_ <- 1 to iters) {
       val cb = spark.sparkContext.broadcast(cents)
-      val sums = vecs.map { v =>
-        (Ann.nearest(v.toArray, cb.value), (v.toArray, 1L))
-      }.rdd.reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
-        val s = x._1.clone()
-        var i = 0
-        while (i < s.length) { s(i) += y._1(i); i += 1 }
-        (s, x._2 + y._2)
-      }.collect()
+      val sums = vecs
+        .map { case (id, v) => (nearest(v.toArray, cb.value), id, v) }
+        .toDF("ci", "id", "v")
+        .repartition(col("ci"))
+        .sortWithinPartitions("ci", "id")
+        .as[(Int, Long, Seq[Double])]
+        .mapPartitions { it =>
+          // streaming ordered fold: one accumulator per centroid run
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double], Long)]
+          var cur = -1; var acc: Array[Double] = null; var n = 0L
+          for ((ci, _, v) <- it) {
+            if (ci != cur) {
+              if (cur >= 0) out += ((cur, acc, n))
+              cur = ci; acc = new Array[Double](v.length); n = 0L
+            }
+            var i = 0
+            while (i < acc.length) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          if (cur >= 0) out += ((cur, acc, n))
+          out.iterator
+        }.collect()
       val next = cents.clone()
-      for ((ci, (s, n)) <- sums) next(ci) = s.map(_ / n)
+      for ((ci, s, n) <- sums) next(ci) = s.map(_ / n)
       cents = next
     }
     vecs.unpersist()
@@ -80,7 +116,9 @@ object Ann {
     best
   }
 
-  /** IVF index: (id, vec, centroid) — write-time routing table. */
+  /** IVF index: (id, vec, centroid) — write-time routing table. Routing
+    * distance runs on the UNIT vector (stored vectors stay raw for the
+    * exact cosine ranking). */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 cents: Array[Array[Double]]): DataFrame = {
     val spark = df.sparkSession
@@ -88,17 +126,20 @@ object Ann {
     val cb = spark.sparkContext.broadcast(cents)
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
-      .map { case (id, v) => (id, v, nearest(v.toArray, cb.value)) }
+      .map { case (id, v) => (id, v, nearest(unit(v.toArray), cb.value)) }
       .toDF(idCol, "vec", "centroid")
   }
 
-  /** The nProbe centroid ids nearest to the query (squared L2). */
-  def probeSet(cents: Array[Array[Double]], query: Array[Double], nProbe: Int): Seq[Int] =
+  /** The nProbe centroid ids nearest to the UNIT query (squared L2 on the
+    * sphere ≡ cosine order — the ranking metric). */
+  def probeSet(cents: Array[Array[Double]], query: Array[Double], nProbe: Int): Seq[Int] = {
+    val q = unit(query)
     cents.zipWithIndex.sortBy { case (c, _) =>
       var d = 0.0; var i = 0
-      while (i < query.length) { val t = query(i) - c(i); d += t * t; i += 1 }
+      while (i < q.length) { val t = q(i) - c(i); d += t * t; i += 1 }
       d
     }.take(nProbe).map(_._2).toIndexedSeq
+  }
 
   /** IVF query: probe the nProbe nearest centroid partitions only. */
   def ivfTopK(assigned: DataFrame, idCol: String, query: Array[Double],
@@ -111,13 +152,35 @@ object Ann {
   /** Persist the routing table PARTITIONED BY CENTROID — the write-time
     * layout that turns probing into real partition pruning: a query lists
     * only the nProbe centroid directories, so the scan fraction is
-    * nProbe/C of the corpus regardless of total size. */
-  def ivfWrite(assigned: DataFrame, dir: String): Unit =
+    * nProbe/C of the corpus regardless of total size. When `cents` is
+    * given, the trained centroids are stored as a `_centroids.json`
+    * sidecar (underscore-prefixed → invisible to the parquet reader), so
+    * serving probes THE layout's centroids via [[readCentroids]] instead
+    * of retraining — the index metadata travels with the index. */
+  def ivfWrite(assigned: DataFrame, dir: String,
+               cents: Array[Array[Double]] = null): Unit = {
     // one shuffle on centroid → one file per centroid dir instead of
     // tasks x centroids small files (cap production file sizes with
     // spark.sql.files.maxRecordsPerFile)
     assigned.repartition(col("centroid"))
       .write.mode("overwrite").partitionBy("centroid").parquet(dir)
+    if (cents != null) {
+      val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_centroids.json"),
+        json.getBytes("UTF-8"))
+    }
+  }
+
+  /** The centroids an on-disk IVF layout was written with. */
+  def readCentroids(dir: String): Array[Array[Double]] = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_centroids.json")), "UTF-8").trim
+    // [[a,b],[c,d]] — split on "],[" after stripping the outer brackets
+    val inner = json.stripPrefix("[").stripSuffix("]")
+    if (inner.isEmpty) Array.empty
+    else inner.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble))
+  }
 
   /** IVF query over the on-disk partitioned routing table. The centroid
     * In-filter is a partition filter (MlSpec asserts `PartitionFilters`

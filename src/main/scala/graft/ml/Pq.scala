@@ -40,6 +40,8 @@ object Pq {
       .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "PQ training sample is empty")
     val d = sample.head.length
+    require(sample.forall(_.length == d),
+      s"ragged training sample: expected every vector at dim $d")
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
     val codebooks = Array.tabulate(m) { mi =>
@@ -78,6 +80,10 @@ object Pq {
       .map { case (id, v) =>
         val model = mb.value
         val arr = v.toArray
+        // copyOfRange would silently ZERO-PAD a short vector past its end —
+        // a ragged corpus row must fail loudly, not encode garbage codes
+        require(arr.length == model.m * model.dsub,
+          s"vector $id has dim ${arr.length}, model expects ${model.m * model.dsub}")
         val code = Array.tabulate(model.m) { mi =>
           val sub = java.util.Arrays.copyOfRange(arr, mi * model.dsub, (mi + 1) * model.dsub)
           Ann.nearest(sub, model.codebooks(mi))
@@ -87,7 +93,11 @@ object Pq {
   }
 
   /** ADC squared-L2 lookup table: table(mi)(cid) = ||q_sub − centroid||². */
-  def distanceTable(query: Array[Double], model: PqModel): Array[Array[Double]] =
+  def distanceTable(query: Array[Double], model: PqModel): Array[Array[Double]] = {
+    // same zero-pad hazard as encode: a wrong-dimension query would produce
+    // a plausible-looking but wrong table with no error
+    require(query.length == model.m * model.dsub,
+      s"query dim ${query.length} != model dim ${model.m * model.dsub}")
     Array.tabulate(model.m) { mi =>
       val qs = java.util.Arrays.copyOfRange(query, mi * model.dsub, (mi + 1) * model.dsub)
       model.codebooks(mi).map { c =>
@@ -96,6 +106,7 @@ object Pq {
         d
       }
     }
+  }
 
   /** Top-k by ADC distance over the codes table: m table lookups per
     * candidate, summed in ascending subspace order (SQL-reproducible). */

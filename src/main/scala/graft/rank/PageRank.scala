@@ -80,7 +80,14 @@ object PageRank {
           checkpointDir: Option[String] = None): (Dataset[PageRankResult], Int) = {
     import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    var state = state0.persist(StorageLevel.MEMORY_AND_DISK)
+    // each round reads `state` twice (contribs flatMap + the join), so the
+    // initial state is persisted — but only when the CALLER hasn't already:
+    // the loop unpersists the states it owns, and dropping a cache the
+    // caller set up (e.g. one init reused across run/runHashed) would
+    // silently force their pipeline to recompute cold
+    val adoptState0 = state0.storageLevel == StorageLevel.NONE
+    var state = if (adoptState0) state0.persist(StorageLevel.MEMORY_AND_DISK) else state0
+    var ownState = adoptState0
     var cnt = 0
     var converged = false
     while (!converged && cnt < maxIter) {
@@ -105,12 +112,22 @@ object PageRank {
         .select($"url", ($"mass" + 0.15).as("rank"), $"rank".as("prev"), $"links")
         .as[RankState]
 
+      // reliable-checkpoint rounds persist BEFORE checkpointing: the
+      // checkpoint-writer job Spark launches after the action then reads
+      // the round from cache instead of re-executing the join+aggregate
+      // (checkpoint-after-persist would roughly double those rounds). The
+      // pre-checkpoint cache is dropped once the files exist; later reads
+      // of the round come from the durable files. localCheckpoint rounds
+      // keep the old shape — local checkpoints ARE the cached blocks.
+      var preCheckpointCache: Option[Dataset[RankState]] = None
       val next =
-        (if (cnt % checkpointEvery == 0) {
-          if (checkpointDir.isDefined) newState.checkpoint(false)
-          else newState.localCheckpoint(false)
-        } else newState)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (cnt % checkpointEvery == 0 && checkpointDir.isDefined) {
+          val cached = newState.persist(StorageLevel.MEMORY_AND_DISK)
+          preCheckpointCache = Some(cached)
+          cached.checkpoint(false)
+        } else if (cnt % checkpointEvery == 0) {
+          newState.localCheckpoint(false).persist(StorageLevel.MEMORY_AND_DISK)
+        } else newState.persist(StorageLevel.MEMORY_AND_DISK)
 
       // one job for both convergence scalars; this action also MATERIALIZES
       // the persisted `next` each round (bounding plan depth to one
@@ -121,8 +138,10 @@ object PageRank {
       ).head()
       val total = row.getLong(0)
       val achieved = row.getLong(1)
-      state.unpersist()
+      preCheckpointCache.foreach(_.unpersist())
+      if (ownState) state.unpersist()
       state = next
+      ownState = true
       converged = total == 0 || achieved.toDouble / total >= percent
     }
     (state.map(s => PageRankResult(s.url, s.rank)), cnt)
@@ -153,7 +172,9 @@ object PageRank {
     // persisted: the id map, the collision check, and the hashed-state
     // derivation below all read it — without the cache the whole upstream
     // init pipeline (page scan, link extraction) executes once per consumer
-    val src = state0.persist(StorageLevel.MEMORY_AND_DISK)
+    // adopt the caller's cache if they set one up (see run())
+    val adoptSrc = state0.storageLevel == StorageLevel.NONE
+    val src = if (adoptSrc) state0.persist(StorageLevel.MEMORY_AND_DISK) else state0
     val ids = src.map(s => (fnv1a64(s.url), s.url)).toDF("id", "url")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // collision check covers NODES AND LINK TARGETS: a dangling target that
@@ -188,23 +209,29 @@ object PageRank {
         .join(state.toDF("sid", "rank", "prev", "links"), $"id" === $"sid", "inner")
         .select($"id", ($"mass" + 0.15).as("rank"), $"rank".as("prev"), $"links")
         .as[HashedRankState]
+      // same reliable-checkpoint ordering as run(): persist first so the
+      // checkpoint-writer job reads the round from cache
+      var preCheckpointCache: Option[Dataset[HashedRankState]] = None
       val next =
-        (if (cnt % checkpointEvery == 0) {
-          if (checkpointDir.isDefined) newState.checkpoint(false)
-          else newState.localCheckpoint(false)
-        } else newState)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (cnt % checkpointEvery == 0 && checkpointDir.isDefined) {
+          val cached = newState.persist(StorageLevel.MEMORY_AND_DISK)
+          preCheckpointCache = Some(cached)
+          cached.checkpoint(false)
+        } else if (cnt % checkpointEvery == 0) {
+          newState.localCheckpoint(false).persist(StorageLevel.MEMORY_AND_DISK)
+        } else newState.persist(StorageLevel.MEMORY_AND_DISK)
       val row = next.agg(
         count(lit(1)).as("total"),
         sum(when(abs($"rank" - $"prev") < threshold, 1L).otherwise(0L)).as("achieved")
       ).head()
       val total = row.getLong(0)
       val achieved = row.getLong(1)
+      preCheckpointCache.foreach(_.unpersist())
       state.unpersist()
       state = next
       converged = total == 0 || achieved.toDouble / total >= percent
     }
-    src.unpersist()
+    if (adoptSrc) src.unpersist()
     val out = state.toDF("id", "rank", "prev", "links")
       .join(ids, Seq("id"))
       .select($"url", $"rank").as[PageRankResult]

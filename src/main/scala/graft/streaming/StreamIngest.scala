@@ -54,13 +54,17 @@ object StreamIngest {
     * batches (exactly-once file-sink semantics come from the foreachBatch
     * writer being idempotent per batchId path). */
   def indexIngest(spark: SparkSession, pagesDir: String, segmentsDir: String,
-                  checkpointDir: String, lexicon: Set[String]): StreamingQuery = {
+                  checkpointDir: String, lexicon: Set[String],
+                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val lex = spark.sparkContext.broadcast(lexicon)
     val schema = spark.read.parquet(pagesDir).schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "2")
-      .parquet(pagesDir)
+    val src = spark.readStream.schema(schema)
+    // rate limit is the CALLER's choice: unlimited by default (one batch
+    // per trigger's available files); tests pass a small value to force
+    // multi-batch replays. A hardcoded tiny limit would turn a 10^4-file
+    // production directory into thousands of micro-batches + batch=N dirs.
+    maxFilesPerTrigger.foreach(n => src.option("maxFilesPerTrigger", n.toString))
+    src.parquet(pagesDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -80,10 +84,8 @@ object StreamIngest {
           .persist()
         pages.select("url", "html").as[(String, Array[Byte])]
           .flatMap { case (url, html) =>
-            graft.text.Text.termCounts(url, new String(html, "UTF-8"), lex.value)
-              .iterator.collect {
-                case (term, tf) if term.length <= graft.text.Text.MaxTermLen => (url, term, tf)
-              }
+            graft.text.Text.postings(url, new String(html, "UTF-8"), lex.value)
+              .map { case (term, tf) => (url, term, tf) }
           }
           .toDF("url", "term", "tf")
           .write.mode("overwrite") // idempotent per-batch path

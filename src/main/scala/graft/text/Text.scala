@@ -35,6 +35,13 @@ object Text {
     * literal previously risked divergence between build paths. */
   val MaxTermLen = 100
 
+  /** [[termCounts]] with the [[MaxTermLen]] guard applied — THE one
+    * posting-emit helper; every build path (direct, segmented, streaming,
+    * probes, triples dumps) maps this into its own row shape instead of
+    * hand-copying the tokenize+filter block. */
+  def postings(url: String, page: String, lexicon: Set[String]): Iterator[(String, Int)] =
+    termCounts(url, page, lexicon).iterator.filter(_._1.length <= MaxTermLen)
+
 
   // PRECOMPILED patterns: String.replaceAll/split call Pattern.compile on
   // every invocation, and these run several times per page inside the

@@ -37,9 +37,8 @@ object ScaleProbe {
       it.flatMap { p =>
         val id = offB.value(pid) + local
         local += 1
-        graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-          .iterator.collect { case (term, tf) if term.length <= graft.text.Text.MaxTermLen =>
-            graft.index.TermPosting(term, id, tf) }
+        graft.text.Text.postings(p.url, new String(p.html, "UTF-8"), lex.value)
+          .map { case (term, tf) => graft.index.TermPosting(term, id, tf) }
       }
     }
     t("tok_nopersist")(postings.count())
@@ -51,9 +50,8 @@ object ScaleProbe {
       it.flatMap { p =>
         val id = offB.value(pid) + local
         local += 1
-        graft.text.Text.termCounts(p.url, new String(p.html, "UTF-8"), lex.value)
-          .iterator.collect { case (term, tf) if term.length <= graft.text.Text.MaxTermLen =>
-            graft.index.TermPosting(term, id, tf) }
+        graft.text.Text.postings(p.url, new String(p.html, "UTF-8"), lex.value)
+          .map { case (term, tf) => graft.index.TermPosting(term, id, tf) }
       }
     }.persist(StorageLevel.DISK_ONLY)
     t("tok_disk")(postingsD.count())

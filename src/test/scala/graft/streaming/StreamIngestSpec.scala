@@ -75,7 +75,7 @@ class StreamIngestSpec extends AnyFunSuite {
     // stage pages as multiple files so the stream sees several micro-batches
     Corpus.generate(spark, numDocs).repartition(6).write.parquet(pagesDir)
 
-    val q1 = StreamIngest.indexIngest(spark, pagesDir, segDir, ckpt, Corpus.lexicon)
+    val q1 = StreamIngest.indexIngest(spark, pagesDir, segDir, ckpt, Corpus.lexicon, maxFilesPerTrigger = Some(2))
     q1.awaitTermination(240000)
     val batchesAfterFirst = new java.io.File(segDir).list().count(_.startsWith("batch="))
     assert(batchesAfterFirst >= 2, s"expected multiple micro-batches, got $batchesAfterFirst")
@@ -90,7 +90,7 @@ class StreamIngestSpec extends AnyFunSuite {
       assert(sStream.referenceTopK(q) == sBatch.referenceTopK(q), s"query '$q'")
 
     // restart with no new files: checkpoint ensures no batch re-runs
-    val q2 = StreamIngest.indexIngest(spark, pagesDir, segDir, ckpt, Corpus.lexicon)
+    val q2 = StreamIngest.indexIngest(spark, pagesDir, segDir, ckpt, Corpus.lexicon, maxFilesPerTrigger = Some(2))
     q2.awaitTermination(120000)
     val batchesAfterRestart = new java.io.File(segDir).list().count(_.startsWith("batch="))
     assert(batchesAfterRestart == batchesAfterFirst, "restart must not re-ingest committed batches")
