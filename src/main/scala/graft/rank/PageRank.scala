@@ -79,6 +79,46 @@ object PageRank {
           checkpointEvery: Int = 5,
           checkpointDir: Option[String] = None): (Dataset[PageRankResult], Int) = {
     import spark.implicits._
+    val (state, cnt) = converge[RankState, String](spark, state0, "url",
+      s => contribsOf(s.url, s.rank, s.links),
+      threshold, percent, maxIter, checkpointEvery, checkpointDir)
+    (state.map(s => PageRankResult(s.url, s.rank)), cnt)
+  }
+
+  /** Keep-alive + 0.85·rank/outdeg per outlink — one node's contribution
+    * rows (reference PageRank.java:90-104), generic over the key type. */
+  private def contribsOf[K](key: K, rank: Double, links: Seq[K]): Iterator[(K, Double)] = {
+    val keepAlive = Iterator.single((key, 0.0))
+    val out =
+      if (links.isEmpty) Iterator.empty
+      else {
+        val v = 0.85 * rank / links.length
+        links.iterator.map(l => (l, v))
+      }
+    keepAlive ++ out
+  }
+
+  /** The ONE convergence loop [[run]] and [[runHashed]] share — identical
+    * algebra over a generic node-key type (url strings / 64-bit hashes).
+    * State rows must be (key, rank, prev, links); `keyName` is S's key
+    * field so the round's DataFrame can land back in `.as[S]`.
+    *
+    * Per round: contribution shuffle + sum, dangling-drop inner join
+    * (reference PageRank.java:106), +0.15; ONE action computes both
+    * convergence scalars and materializes the persisted round (bounding
+    * plan depth to one iteration). Reliable-checkpoint rounds persist
+    * BEFORE checkpointing so the checkpoint-writer job reads the round
+    * from cache instead of re-executing it (the pre-checkpoint cache is
+    * dropped once the files exist); localCheckpoint rounds keep the
+    * persist-after shape — local checkpoints ARE the cached blocks. The
+    * caller's state0 cache is adopted, never evicted. */
+  private def converge[S, K](spark: SparkSession, state0: Dataset[S],
+      keyName: String, toContribs: S => Iterator[(K, Double)],
+      threshold: Double, percent: Double, maxIter: Int,
+      checkpointEvery: Int, checkpointDir: Option[String])(
+      implicit se: org.apache.spark.sql.Encoder[S],
+      ke: org.apache.spark.sql.Encoder[(K, Double)]): (Dataset[S], Int) = {
+    import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // each round reads `state` twice (contribs flatMap + the join), so the
     // initial state is persisted — but only when the CALLER hasn't already:
@@ -92,34 +132,15 @@ object PageRank {
     var converged = false
     while (!converged && cnt < maxIter) {
       cnt += 1
-      // contributions: keep-alive + 0.85*rank/outdeg per outlink
-      val contribs = state.flatMap { s =>
-        val keepAlive = Iterator.single((s.url, 0.0))
-        val out =
-          if (s.links.isEmpty) Iterator.empty
-          else {
-            val v = 0.85 * s.rank / s.links.length
-            s.links.iterator.map(l => (l, v))
-          }
-        keepAlive ++ out
-      }.toDF("url", "contrib")
-
-      val aggregated = contribs.groupBy($"url").agg(sum($"contrib").as("mass"))
-
+      val contribs = state.flatMap(toContribs).toDF("k", "contrib")
+      val aggregated = contribs.groupBy($"k").agg(sum($"contrib").as("mass"))
       // inner join drops dangling-target mass (reference PageRank.java:106)
       val newState = aggregated
-        .join(state.toDF("surl", "rank", "prev", "links"), $"url" === $"surl", "inner")
-        .select($"url", ($"mass" + 0.15).as("rank"), $"rank".as("prev"), $"links")
-        .as[RankState]
+        .join(state.toDF("sk", "rank", "prev", "links"), $"k" === $"sk", "inner")
+        .select($"k".as(keyName), ($"mass" + 0.15).as("rank"), $"rank".as("prev"), $"links")
+        .as[S]
 
-      // reliable-checkpoint rounds persist BEFORE checkpointing: the
-      // checkpoint-writer job Spark launches after the action then reads
-      // the round from cache instead of re-executing the join+aggregate
-      // (checkpoint-after-persist would roughly double those rounds). The
-      // pre-checkpoint cache is dropped once the files exist; later reads
-      // of the round come from the durable files. localCheckpoint rounds
-      // keep the old shape — local checkpoints ARE the cached blocks.
-      var preCheckpointCache: Option[Dataset[RankState]] = None
+      var preCheckpointCache: Option[Dataset[S]] = None
       val next =
         if (cnt % checkpointEvery == 0 && checkpointDir.isDefined) {
           val cached = newState.persist(StorageLevel.MEMORY_AND_DISK)
@@ -129,9 +150,6 @@ object PageRank {
           newState.localCheckpoint(false).persist(StorageLevel.MEMORY_AND_DISK)
         } else newState.persist(StorageLevel.MEMORY_AND_DISK)
 
-      // one job for both convergence scalars; this action also MATERIALIZES
-      // the persisted `next` each round (bounding plan depth to one
-      // iteration — without it the lazy plan tree doubles per round)
       val row = next.agg(
         count(lit(1)).as("total"),
         sum(when(abs($"rank" - $"prev") < threshold, 1L).otherwise(0L)).as("achieved")
@@ -144,7 +162,7 @@ object PageRank {
       ownState = true
       converged = total == 0 || achieved.toDouble / total >= percent
     }
-    (state.map(s => PageRankResult(s.url, s.rank)), cnt)
+    (state, cnt)
   }
 
   /** Full pipeline: pages → ranks (url-keyed) with reference defaults. */
@@ -187,50 +205,11 @@ object PageRank {
     require(nIds == nUrls,
       s"fnv1a64 id collision: $nUrls urls -> $nIds ids; use 128-bit ids at this scale")
 
-    var state = src
+    val hashed0 = src
       .map(s => HashedRankState(fnv1a64(s.url), s.rank, s.prev, s.links.map(fnv1a64).toArray))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var cnt = 0
-    var converged = false
-    while (!converged && cnt < maxIter) {
-      cnt += 1
-      val contribs = state.flatMap { s =>
-        val keepAlive = Iterator.single((s.id, 0.0))
-        val out =
-          if (s.links.isEmpty) Iterator.empty
-          else {
-            val v = 0.85 * s.rank / s.links.length
-            s.links.iterator.map(l => (l, v))
-          }
-        keepAlive ++ out
-      }.toDF("id", "contrib")
-      val aggregated = contribs.groupBy($"id").agg(sum($"contrib").as("mass"))
-      val newState = aggregated
-        .join(state.toDF("sid", "rank", "prev", "links"), $"id" === $"sid", "inner")
-        .select($"id", ($"mass" + 0.15).as("rank"), $"rank".as("prev"), $"links")
-        .as[HashedRankState]
-      // same reliable-checkpoint ordering as run(): persist first so the
-      // checkpoint-writer job reads the round from cache
-      var preCheckpointCache: Option[Dataset[HashedRankState]] = None
-      val next =
-        if (cnt % checkpointEvery == 0 && checkpointDir.isDefined) {
-          val cached = newState.persist(StorageLevel.MEMORY_AND_DISK)
-          preCheckpointCache = Some(cached)
-          cached.checkpoint(false)
-        } else if (cnt % checkpointEvery == 0) {
-          newState.localCheckpoint(false).persist(StorageLevel.MEMORY_AND_DISK)
-        } else newState.persist(StorageLevel.MEMORY_AND_DISK)
-      val row = next.agg(
-        count(lit(1)).as("total"),
-        sum(when(abs($"rank" - $"prev") < threshold, 1L).otherwise(0L)).as("achieved")
-      ).head()
-      val total = row.getLong(0)
-      val achieved = row.getLong(1)
-      preCheckpointCache.foreach(_.unpersist())
-      state.unpersist()
-      state = next
-      converged = total == 0 || achieved.toDouble / total >= percent
-    }
+    val (state, cnt) = converge[HashedRankState, Long](spark, hashed0, "id",
+      s => contribsOf(s.id, s.rank, s.links.toIndexedSeq),
+      threshold, percent, maxIter, checkpointEvery, checkpointDir)
     if (adoptSrc) src.unpersist()
     val out = state.toDF("id", "rank", "prev", "links")
       .join(ids, Seq("id"))
