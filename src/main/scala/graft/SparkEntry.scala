@@ -820,7 +820,32 @@ object SparkEntry {
     // generator formulas in pure SQL. ----
     "q50_video_frames" -> ((s, _) =>
       graft.ml.MediaCodec.explodeVideoFrames(
-        graft.ml.MediaCodec.generateVideos(s, 120)).toDF())
+        graft.ml.MediaCodec.generateVideos(s, 120)).toDF()),
+
+    // ---- snapshot TIME TRAVEL under the oracle: build segments over
+    // corpus A (snapshot v1), overwrite with a mutated corpus (v2), then
+    // read v1 BY SNAPSHOT ID — the result must be exactly corpus A's
+    // tokenizer triples (the dumped oracle input), proving the superseded
+    // snapshot's manifest + data files survive the v2 commit untouched ----
+    "q51_time_travel" -> ((s, _) => {
+      import s.implicits._
+      val n = 500
+      dumpTriplesOnce(s, n)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q51").toString
+      val pages = graft.corpus.Corpus.generate(s, n)
+      val r1 = graft.index.SegmentedIndex.buildSegments(
+        s, pages, graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      val mutated = pages.map { p =>
+        if (p.url.endsWith("/p/7"))
+          p.copy(html = new String(p.html, "UTF-8")
+            .replace("<p>", "<p>timetravel mutation galaxy ").getBytes("UTF-8"))
+        else p
+      }
+      graft.index.SegmentedIndex.buildSegments(
+        s, mutated, graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      graft.tables.TableIO.read(s, dir, Some(r1.snapshotId))
+        .select(col("url"), col("term"), col("tf"))
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1293,6 +1318,12 @@ object SparkEntry {
                 CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                 CAST(sum((id * 7 + f * 11 + x * 3 + y * 5) % 256) AS BIGINT) AS checksum
          FROM v3 GROUP BY id, f, w, h""",
+
+    // q51: the time-traveled snapshot must equal corpus A's tokenizer
+    // triples verbatim — the segment table's rows minus the bucket column
+    "q51_time_travel" ->
+      s"""SELECT url, term, tf
+         FROM read_parquet('${auxDir}/triples_500/*.parquet')""",
 
     // q46 = the batch sessionization oracle VERBATIM: the production
     // EventTimeTimeout sessionizer (watermark flush, no per-user
