@@ -669,7 +669,7 @@ object SparkEntry {
       val n = 500L
       dumpPagesOnce(s, n)
       val keys = detailDocIds
-        .map(i => graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)))
+        .map(i => graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, 16)))
       s.read.parquet(s"${auxDir}/q36_pages").filter(col("key").isin(keys: _*))
         .select(col("url"), col("html")).as[(String, String)]
         .map { case (u, h) =>
@@ -690,7 +690,7 @@ object SparkEntry {
       graft.query.DirectIndex.writePages(keyedPages(s, n), dir)
       val pages = graft.query.DirectPages.open(dir)
       val rows = detailDocIds.map { i =>
-        val url = graft.corpus.Corpus.urlOf(i, n, 16)
+        val url = graft.corpus.Corpus.urlOf(i, 16)
         val info = graft.query.DocDetail.pageInfo(url,
           pages.html(graft.util.RefHasher.hash(url)))
         (url, info("title"), info("abstract"))
@@ -915,7 +915,7 @@ object SparkEntry {
     * RefHasher goldens). */
   private def docDetailSql(n: Long): String = {
     val keys = detailDocIds
-      .map(i => "'" + graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, n, 16)) + "'")
+      .map(i => "'" + graft.util.RefHasher.hash(graft.corpus.Corpus.urlOf(i, 16)) + "'")
       .mkString(", ")
     s"""WITH p AS (SELECT url, html FROM read_parquet('${auxDir}/q36_pages/*.parquet')
                    WHERE key IN ($keys)),

@@ -116,7 +116,7 @@ object Corpus {
 
   val epochBase: Long = 1700000000000L // fixed UTC base for warc_ts
 
-  def urlOf(i: Long, numDocs: Long, numHosts: Int): String = {
+  def urlOf(i: Long, numHosts: Int): String = {
     val h = (i % numHosts).toInt
     val port = if (h % 2 == 0) "" else ":443"
     s"http://host$h.example$port/p/$i"
@@ -125,7 +125,7 @@ object Corpus {
   /** Pure page builder: index → Page. Everything derives from rng(seed,i). */
   def makePage(i: Long, numDocs: Long, numHosts: Int, seed: Long): Page = {
     val rng = new java.util.Random(seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL)
-    val url = urlOf(i, numDocs, numHosts)
+    val url = urlOf(i, numHosts)
 
     val titleWords = Seq.fill(2 + rng.nextInt(2))(zipfDraw(rng))
     val h1Words = Seq.fill(1 + rng.nextInt(2))(zipfDraw(rng))
@@ -143,7 +143,9 @@ object Corpus {
         else if (r < 93) String.valueOf(rng.nextInt(1000))          // kept ≤3-digit number
         else if (r < 95) String.valueOf(10000 + rng.nextInt(90000)) // dropped >3-digit
         else if (r < 96) "café"                                // non-ASCII, dropped
-        else if (r < 97) "x" * 101                                  // >100 chars, term-length guard
+        else if (r < 97) "x" * 101                                  // non-lexicon AND >100 chars: dropped
+        // by the lexicon filter BEFORE the MaxTermLen guard ever sees it (the
+        // guard itself is unit-tested in TextSpec with a synthetic lexicon)
         else zipfDraw(rng) + (if (rng.nextBoolean()) "," else if (rng.nextInt(2) == 0) "’" else "!")
       body.append(tok)
       // reference-class punctuation / whitespace separators
@@ -163,10 +165,10 @@ object Corpus {
     val hops = Seq(1L, 7L, 31L)
     for (h <- hops) {
       val j = (i * h + 3) % numDocs
-      links.append(s"""<a href="${urlOf(j, numDocs, numHosts)}">link$j</a> """)
+      links.append(s"""<a href="${urlOf(j, numHosts)}">link$j</a> """)
     }
     if (i % 5 == 0) links.append(s"""<a href="/p/${(i + 1) % numDocs}">rel</a> """)
-    if (i % 7 == 0) links.append(s"""<a href="${urlOf((i + 2) % numDocs, numDocs, numHosts)}#frag">frag</a> """)
+    if (i % 7 == 0) links.append(s"""<a href="${urlOf((i + 2) % numDocs, numHosts)}#frag">frag</a> """)
     if (i % 11 == 0) links.append(s"""<a href="http://dangling.example/missing/$i">gone</a> """)
 
     val html =

@@ -28,7 +28,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+  // lazy val: nullSafeEval consults this per ROW on interpreted paths —
+  // a def would re-pattern-match the child types in the hot loop
+  private lazy val elementsNullable: Boolean = (left.dataType, right.dataType) match {
     case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
     case _ => true
   }
@@ -39,7 +41,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   // strict array<double> inputs (no implicit cast injection — callers cast,
   // as every call site already does for float embeddings); null in → null
-  // out via BinaryExpression's null-safe evaluation
+  // out via BinaryExpression's null-safe evaluation. INTENTIONALLY strict
+  // about an untyped NULL literal too: cosine_sim(NULL, x) fails ANALYSIS
+  // rather than silently typing the column — cast the literal
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
       case ArrayType(DoubleType, _) => true

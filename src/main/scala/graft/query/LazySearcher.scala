@@ -55,17 +55,15 @@ final class LazySearcher(spark: SparkSession, dir: String, val n: Int,
     (nd, if (nd == 0) 1.0 else sumDl.toDouble / nd, minDl)
   }
 
-  /** Terms either scorer can touch for this query: surface + stems. */
-  private def expansionTerms(query: String): Seq[String] = {
-    val surface = Text.parseQuery(query)
-    (surface ++ surface.map(PorterStemmer.stem)).distinct.filter(dict.contains)
-  }
+  /** Terms either scorer can touch for this query — the shared
+    * [[Searcher.expansionTerms]] superset, pruned to the dictionary. */
+  private def expansionTerms(query: String): Seq[String] =
+    Searcher.expansionTerms(query).filter(dict.contains)
 
   private def fetchBlocks(terms: Seq[String]): Map[String, IndexedSeq[PostingBlock]] =
     if (terms.isEmpty) Map.empty
-    else built.blocks.filter($"term".isin(terms: _*)).collect()
-      .groupBy(_.term)
-      .map { case (t, bs) => t -> bs.sortBy(b => (b.part_id, b.seq)).toIndexedSeq }
+    else Searcher.groupBlocks(
+      built.blocks.filter($"term".isin(terms: _*)).collect().toIndexedSeq)
 
   /** Point fetch of touched docs. Small id sets go down as an In-filter —
     * pushed into the parquet scan, where the doc_id-sorted docs table

@@ -383,12 +383,25 @@ object Searcher {
     false
   }
 
+  /** Every term either scorer can touch for a query: surface forms plus
+    * their Porter stems. The SINGLE superset contract LazySearcher's block
+    * prefetch relies on — a new expansion variant in referenceTopK/bm25TopK
+    * must extend THIS set or the lazy tier silently under-fetches. */
+  def expansionTerms(query: String): Seq[String] = {
+    val surface = Text.parseQuery(query)
+    (surface ++ surface.map(PorterStemmer.stem)).distinct
+  }
+
+  /** Group blocks into per-term serving order — the ONE (part_id, seq)
+    * ordering every tier keys rank-identity on (IndexBuild block contract). */
+  def groupBlocks(blocks: Iterable[graft.index.PostingBlock]): Map[String, IndexedSeq[graft.index.PostingBlock]] =
+    blocks.groupBy(_.term)
+      .map { case (t, bs) => t -> bs.toIndexedSeq.sortBy(b => (b.part_id, b.seq)) }
+
   /** Collect the built artifacts to the driver (test/serving-node scale). */
   def fromIndex(built: BuiltIndex, n: Int): Searcher = {
     val dict = built.dictionary.collect().map(d => d.term -> d).toMap
-    val blocks = built.blocks.collect()
-      .groupBy(_.term)
-      .map { case (t, bs) => t -> bs.sortBy(b => (b.part_id, b.seq)).toIndexedSeq }
+    val blocks = groupBlocks(built.blocks.collect().toIndexedSeq)
     // loud cliff, like the engine's Fnv/collision guards: this eager tier
     // array-indexes by doc_id.toInt, so it is bounded at 2^31 docs — past
     // that, serve from DirectSearcher (mmap shards) or LazySearcher instead.

@@ -24,6 +24,12 @@ object Serving {
     * deterministic for this fixed key set). Quirk preserved: the extracted
     * title lands under "abstract", "title" stays the url. */
   def pageInfoJson(url: String, page: Option[String]): String = {
+    // NOTE (parity, not an oversight): like the reference's Backend.toJson
+    // (Backend.java:638-655), values are emitted UNESCAPED — a url or title
+    // containing '"' or '\\' produces the same invalid JSON the reference
+    // serves. The scorer's hygiene filter keeps quoted urls out of RESULT
+    // lists, but this endpoint echoes the caller's url verbatim, exactly as
+    // the reference does. Byte-identity mandate wins over JSON validity.
     // ONE copy of the info-map rules: values come from DocDetail.pageInfo
     // (null-safe, quirk-preserving); this function only contributes the
     // reference's java.util.HashMap INSERTION SEQUENCE, whose iteration
@@ -75,7 +81,11 @@ object Serving {
         pagesCache.keySet.removeIf(_._1 == e.getKey); it.remove()
       }
     }
-    pagesCache.computeIfAbsent((spark.sparkContext.applicationId, pagesDir), _ => {
+    pagesCache.computeIfAbsent(
+      // normalized key: "/data/pages" and "/data/pages/" must share one
+      // cache entry, or the stale-listing retry evicts only one spelling
+      (spark.sparkContext.applicationId,
+        java.nio.file.Paths.get(pagesDir).normalize().toString), _ => {
       pagesLoads.incrementAndGet()
       spark.read.parquet(pagesDir)
     })
@@ -88,9 +98,12 @@ object Serving {
   def detailJson(spark: SparkSession, pagesDir: String, url: String): String = {
     val key = RefHasher.hash(url)
     def fetch(): Option[String] =
+      // limit(1): a point lookup must not collect every matching row (keys
+      // are unique by construction, but a bounded scan is free insurance)
       pagesTable(spark, pagesDir)
         .filter(col("key") === key)
         .select(col("html"))
+        .limit(1)
         .collect().headOption.map(_.getString(0))
     val row =
       try fetch()
@@ -99,10 +112,12 @@ object Serving {
             if e.getMessage != null && e.getMessage.contains("FileNotFound") =>
           // the pages table was republished under this dir (new part files):
           // drop the stale resolved listing and retry once
-          pagesCache.remove((spark.sparkContext.applicationId, pagesDir))
+          pagesCache.remove((spark.sparkContext.applicationId,
+            java.nio.file.Paths.get(pagesDir).normalize().toString))
           fetch()
         case _: java.io.FileNotFoundException =>
-          pagesCache.remove((spark.sparkContext.applicationId, pagesDir))
+          pagesCache.remove((spark.sparkContext.applicationId,
+            java.nio.file.Paths.get(pagesDir).normalize().toString))
           fetch()
       }
     pageInfoJson(url, row)

@@ -47,7 +47,7 @@ class ServingSpec extends AnyFunSuite {
   }
 
   test("GET /query/:url body: keyed point lookup + HashMap-order info JSON") {
-    val url = Corpus.urlOf(7, numDocs, 16)
+    val url = Corpus.urlOf(7, 16)
     val html = new String(Corpus.makePage(7, numDocs, 16, 42L).html, "UTF-8")
     val got = Serving.detailJson(spark, pagesDir, url)
     assert(got == Serving.pageInfoJson(url, Some(html)))
@@ -66,10 +66,10 @@ class ServingSpec extends AnyFunSuite {
   }
 
   test("pages table is resolved once across repeated lookups") {
-    Serving.detailJson(spark, pagesDir, Corpus.urlOf(1, numDocs, 16)) // ensure cached
+    Serving.detailJson(spark, pagesDir, Corpus.urlOf(1, 16)) // ensure cached
     val before = Serving.pagesLoads.get()
     for (i <- 2L to 20L)
-      Serving.detailJson(spark, pagesDir, Corpus.urlOf(i, numDocs, 16))
+      Serving.detailJson(spark, pagesDir, Corpus.urlOf(i, 16))
     assert(Serving.pagesLoads.get() == before,
       "every lookup after the first must reuse the resolved pages table")
   }

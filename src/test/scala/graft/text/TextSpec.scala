@@ -79,6 +79,21 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxTermLen guard drops >100-char LEXICON terms from postings") {
+    // the corpus's "x"*101 token never reaches this guard (the lexicon
+    // filter drops it first) — a synthetic lexicon containing a long word
+    // is the only way to exercise the branch for real
+    val long = "y" * (Text.MaxTermLen + 1)
+    val short = "y" * Text.MaxTermLen
+    val lex = Set(long, short, "word")
+    val html = s"<html><body>$long $short word</body></html>"
+    val counted = Text.termCounts("http://x/", html, lex)
+    assert(counted.contains(long), "termCounts itself keeps the long term (guard lives downstream)")
+    val emitted = Text.postings("http://x/", html, lex).map(_._1).toSet
+    assert(!emitted.contains(long), s"postings must drop the ${long.length}-char term")
+    assert(emitted.contains(short) && emitted.contains("word"))
+  }
+
   test("tokenizer edge cases") {
     assert(Text.splitWords("") sameElements Array(""))
     assert(Text.isValidNumber(""))
