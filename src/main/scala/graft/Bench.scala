@@ -255,8 +255,36 @@ object Bench {
         // 10 (was 6): the extras now serve BOTH pairs' clearing runs, and a
         // hi-level rep is the cheapest sample in the section
         val extraReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "10").toInt
-        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1200").toLong
+        // 2000 (was 1200): round 4 published 0.757 because the whole 1200 s
+        // window was contended while the same binary measured 0.915 in a
+        // clean one — headroom to OUTWAIT a dirty first section is cheaper
+        // than a weak canonical artifact
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "2000").toLong
         val target = 0.8
+
+        // ---- absolute-throughput floors (the round-4 lesson: a rep set
+        // spreading 10.3k-18.2k docs/s at "0%" steal is contention the steal
+        // counter missed — the only reliable tell is that best-of sits far
+        // below the level's KNOWN clean rate). BENCH_FLOOR.json carries the
+        // best clean docs/sec ever measured per level; a level is DIRTY
+        // while its best is under floorFrac of that, and dirty levels get
+        // re-sampled on the remaining budget instead of published as-is.
+        // Floors ratchet up after each run, so engine speedups raise the bar
+        // and a slowdown needs to be >40% before anything fails the gate.
+        val floorFile = sys.env.getOrElse("SPARK_GRAFT_FLOOR_FILE", "BENCH_FLOOR.json")
+        val floorFrac = 0.6
+        // floors are docs/sec AT THE STANDARD 500k-doc corpus — a different
+        // SPARK_GRAFT_BENCH_DOCS changes per-doc cost, so they must not bind
+        val floors: Map[Int, Double] =
+          if (numDocs != 500000L) Map.empty
+          else try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(floorFile)), "UTF-8")
+            "\"(\\d+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+              .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+          } catch { case _: Exception => Map.empty }
+        if (floors.isEmpty)
+          System.err.println(s"[bench] no throughput floors at $floorFile — spread gating only")
         val sectionStart = System.nanoTime()
         def budgetLeft: Boolean = (System.nanoTime() - sectionStart) / 1e9 < budgetSec
 
@@ -313,16 +341,53 @@ object Bench {
         // ~6%, hi-level reps spread ±15%: shorter runs, more scheduling,
         // more contention-sensitive), so extra samples go where the
         // estimator is weakest
+        def bestThr(cpus: Int): Double =
+          if (runs(cpus).isEmpty) 0.0 else numDocs / bestSec(cpus)
+        // a level is DIRTY while its best-of sits below the absolute floor
+        // (known-clean-rate evidence); with no floor on record, a wide
+        // spread across the 3 most recent reps is the fallback tell of an
+        // unstable window (clean rep sets cluster within ~15%)
+        def floorOf(cpus: Int): Double = floors.getOrElse(cpus, 0.0) * floorFrac
+        def recentSpreadBad(cpus: Int): Boolean = {
+          val recent = runs(cpus).take(3).map(r => numDocs / r.buildSec)
+          recent.length >= 3 && (recent.max - recent.min) / recent.max > 0.3
+        }
+        def dirty(cpus: Int): Boolean =
+          if (floors.contains(cpus)) bestThr(cpus) < floorOf(cpus)
+          else recentSpreadBad(cpus)
+        val allLevels = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+
+        // adaptive re-sampling: first clear the 0.8 target on every pair,
+        // then clear the floor gate on every level — a noise-slowed LO level
+        // would otherwise publish an INFLATED efficiency, so floor-driven lo
+        // reps are spent even after the pairs look green (they can push eff
+        // back under target, which re-enters the pair branch: that is the
+        // honest convergence). `extra` counts only BELIEVABLE samples (clean
+        // steal AND at/above the floor when one exists); `attempts` is the
+        // hard cap + the unique rep label, so a long contended phase spends
+        // bounded budget and every rep logs distinguishably.
         var extra = 0
-        while (pairs.exists(eff(_) < target) && extra < extraReps && budgetLeft) {
-          val p = pairs.filter(eff(_) < target).maxBy(eff)
-          doRep(p._2, baseReps + extra + 1)
-          // a rep measured under visible hypervisor steal is not evidence
-          // about the engine — retry it on the section BUDGET, not the rep
-          // allowance (this host's steal comes in multi-minute phases; one
-          // phase otherwise eats the whole extra-rep allowance producing
-          // nothing usable)
-          if (runs(p._2).head.steal < 0.015) extra += 1
+        var attempts = 0
+        val maxAttempts = 3 * extraReps
+        while ((pairs.exists(eff(_) < target) || allLevels.exists(dirty)) &&
+               extra < extraReps && attempts < maxAttempts && budgetLeft) {
+          attempts += 1
+          val failing = pairs.filter(eff(_) < target)
+          val c =
+            if (failing.nonEmpty) failing.maxBy(eff)._2
+            else allLevels.filter(dirty)
+              .minBy(l => if (floorOf(l) > 0) bestThr(l) / floorOf(l) else 1.0)
+          doRep(c, baseReps + attempts)
+          // a rep measured under visible hypervisor steal — or still below
+          // the level's known clean floor — is not evidence about the
+          // engine: retry it on the section BUDGET + attempt cap, not the
+          // believable-rep allowance (this host's noise comes in multi-
+          // minute phases; one phase must not eat the whole allowance
+          // producing nothing usable)
+          val r = runs(c).head
+          val believable = r.steal < 0.015 &&
+            (!floors.contains(c) || numDocs / r.buildSec >= floorOf(c))
+          if (believable) extra += 1
         }
 
         // a zero-budget/zero-reps configuration must not crash the whole
@@ -343,9 +408,38 @@ object Bench {
             else f"""{"tokenize_ids_sec":${st(0)}%.3f,"join_blocks_sec":${st(1)}%.3f,"docs_sec":${st(2)}%.3f,"dict_sec":${st(3)}%.3f}"""
           val allThr = rs.reverse.map(r => f"${numDocs / r.buildSec}%.1f").mkString("[", ",", "]")
           val allSteal = rs.reverse.map(r => f"${r.steal * 100}%.2f").mkString("[", ",", "]")
+          val floorJson = floors.get(cpus)
+            .map(f => f""""floor_docs_per_sec":${f * floorFrac}%.1f,"floor_ok":${!dirty(cpus)},""")
+            .getOrElse("")
           f"""{"build_sec":${b.buildSec}%.3f,"docs_per_sec":${numDocs / b.buildSec}%.1f,""" +
             f""""p95_ref_ms":${minPos(rs.map(_.p95Ref))}%.2f,"p95_bm25_ms":${minPos(rs.map(_.p95Bm25))}%.2f,""" +
+            floorJson +
             f""""reps_docs_per_sec":$allThr,"reps_steal_pct":$allSteal,"stages":$stagesJson}"""
+        }
+
+        // ratchet the floor file UP with any better clean-steal rate seen
+        // this run (never down), so future runs gate against the best known
+        // clean evidence; best-effort — an unwritable cwd must not fail the
+        // bench after the measurements are in
+        if (numDocs == 500000L) try {
+          val measured = allLevels.map { c =>
+            val clean = runs(c).filter(_.steal < 0.015)
+            c -> (if (clean.isEmpty) 0.0 else clean.map(r => numDocs / r.buildSec).max)
+          }.toMap
+          val merged = (floors.keySet ++ measured.keySet).toSeq.sorted.map { c =>
+            val v = math.max(floors.getOrElse(c, 0.0), measured.getOrElse(c, 0.0))
+            f""""$c": $v%.1f"""
+          }
+          if (merged.nonEmpty) {
+            val txt = "{\"comment\": \"Known CLEAN build throughput (docs/sec) per " +
+              "local[N] level at the standard 500k-doc scaling corpus; Bench.scala " +
+              "gates publishes on 60% of these and ratchets them up after each run.\",\n" +
+              merged.mkString(" \"floors\": {", ", ", "}}\n")
+            java.nio.file.Files.write(java.nio.file.Paths.get(floorFile),
+              txt.getBytes("UTF-8"))
+          }
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] floor ratchet skipped: ${e.getMessage}")
         }
         val nBlocks = runs(hiC).head.nBlocks
         val pairsJson = pairs.map { case (l, h) =>
@@ -357,6 +451,7 @@ object Bench {
           .map(c => s""""local_$c":${levelJson(c)}""").mkString(",")
         f"""{"num_docs":$numDocs,"blocks":$nBlocks,$levels,""" +
           f""""pairs":$pairsJson,"scaling_pair":"$loC:$hiC",""" +
+          f""""clean":${!allLevels.exists(dirty)},"extra_attempts":$attempts,""" +
           f""""p95_direct_ref_ms":$pDirRef%.2f,"p95_direct_bm25_ms":$pDirBm%.2f,""" +
           f""""scaling_efficiency":${eff(bestPair)}%.3f}"""
         }

@@ -85,6 +85,13 @@ object IndexBuild {
     * ⇒ the per-term top-200 serving path decodes exactly one block. */
   val DefaultBlockSize = 4096
 
+  /** Loud-cliff bound on the closed-vocabulary build's distinct-term set
+    * (~4M terms ≈ a few hundred MB of driver strings — generous for any
+    * lexicon-bounded corpus, far below web-scale open vocabularies).
+    * Overridable via -Dgraft.vocab.cap for tests. */
+  private[graft] def VocabularyCap: Int =
+    sys.props.get("graft.vocab.cap").map(_.toInt).getOrElse(1 << 22)
+
   /** FNV-1a 64-bit url hash for the primitive-triple fast path
     * (the shared [[graft.util.Fnv]] family; collision-checked). */
   private[index] def fnv1a64(s: String): Long = graft.util.Fnv.hash64(s)
@@ -325,9 +332,16 @@ object IndexBuild {
         // rows shrink to (long, long), and the range partitioner samples a
         // primitive key — less memory traffic in the build's heaviest
         // stage. The term set must be collectable (lexicon-bounded here);
-        // otherwise use openVocabulary = true.
+        // otherwise use openVocabulary = true. That contract is ENFORCED,
+        // not assumed: the sorted distinct is fetched through take(cap+1),
+        // so an unbounded vocabulary fails loudly after a bounded driver
+        // transit instead of OOMing the driver mid-collect (the same
+        // loud-cliff discipline as the Fnv / 2^31-doc guards).
         val termArr = postings.select($"term").distinct().orderBy($"term")
-          .collect().map(_.getString(0))
+          .as[String].take(VocabularyCap + 1)
+        require(termArr.length <= VocabularyCap,
+          s"closed-vocabulary build saw more than $VocabularyCap distinct terms — " +
+          "the term dictionary no longer fits the driver; rebuild with openVocabulary = true")
         val termOf = spark.sparkContext.broadcast(termArr)
         val termDim = spark.createDataFrame(
           termArr.toIndexedSeq.zipWithIndex).toDF("term", "tid")

@@ -166,15 +166,31 @@ object Ann {
       .write.mode("overwrite").partitionBy("centroid").parquet(dir)
     if (cents != null) {
       val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_centroids.json"),
-        json.getBytes("UTF-8"))
+      // the sidecar goes through the SAME Hadoop filesystem layer as the
+      // parquet data (resolved with the session's Hadoop conf), so an
+      // hdfs:///s3a:// layout gets its centroids next to its partitions
+      // instead of a java.nio write landing on the driver's local disk
+      val path = new org.apache.hadoop.fs.Path(dir, "_centroids.json")
+      val fs = path.getFileSystem(
+        assigned.sparkSession.sessionState.newHadoopConf())
+      val out = fs.create(path, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
     }
   }
 
-  /** The centroids an on-disk IVF layout was written with. */
-  def readCentroids(dir: String): Array[Array[Double]] = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_centroids.json")), "UTF-8").trim
+  /** The centroids an on-disk IVF layout was written with. Reads through
+    * the Hadoop filesystem layer like [[ivfWrite]] writes — pass the
+    * session whose conf resolves the scheme; the no-session overload covers
+    * local/default-conf paths. */
+  def readCentroids(dir: String,
+                    spark: org.apache.spark.sql.SparkSession = null): Array[Array[Double]] = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_centroids.json")
+    val conf =
+      if (spark != null) spark.sessionState.newHadoopConf()
+      else new org.apache.hadoop.conf.Configuration()
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val json = (try new String(in.readAllBytes(), "UTF-8") finally in.close()).trim
     // [[a,b],[c,d]] — split on "],[" after stripping the outer brackets
     val inner = json.stripPrefix("[").stripSuffix("]")
     if (inner.isEmpty) Array.empty

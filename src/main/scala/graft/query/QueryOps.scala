@@ -168,6 +168,34 @@ object QueryOps {
                          isinThreshold: Int = 2048,
                          broadcastRowCap: Long = 100000L,
                          forceBloomHygiene: Boolean = false): DataFrame = {
+    val (ranked, scratch) = batchReferenceTopKPlan(spark, built, queries, n,
+      isinThreshold, broadcastRowCap, forceBloomHygiene)
+    if (scratch.isEmpty) ranked // empty result — nothing was persisted
+    else {
+      // eager localCheckpoint: materializes the ≤200-rows-per-query result
+      // as executor-cached blocks with TRUNCATED lineage, so the walk cache
+      // can be released HERE instead of leaking (see the persist comment in
+      // the plan builder). The checkpoint blocks themselves ARE reclaimed by
+      // the ContextCleaner when the returned plan is GC'd — RDD-level
+      // persistence, not the CacheManager's strong-ref plan cache.
+      val result = ranked.localCheckpoint(true)
+      scratch.foreach(_.unpersist())
+      result
+    }
+  }
+
+  /** The LAZY batch-replay plan plus the still-persisted scratch Datasets
+    * backing it (the walked postings). Callers that want the raw plan shape
+    * (plan-pinning specs) use this and release the scratch themselves;
+    * everyone else calls [[batchReferenceTopK]], which eagerly materializes
+    * and releases. An empty scratch list means the empty-result short
+    * circuit fired and nothing is persisted. */
+  private[graft] def batchReferenceTopKPlan(
+      spark: SparkSession, built: BuiltIndex,
+      queries: Seq[String], n: Int,
+      isinThreshold: Int = 2048,
+      broadcastRowCap: Long = 100000L,
+      forceBloomHygiene: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     def emptyResult: DataFrame = spark.emptyDataFrame
       .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
@@ -178,7 +206,7 @@ object QueryOps {
       termWeights(q).zipWithIndex.map { case ((t, f), j) => (qi, t, f, j) }
     }
     val allTerms = weights.map(_._2).distinct
-    if (allTerms.isEmpty) return emptyResult
+    if (allTerms.isEmpty) return (emptyResult, Nil)
     val dict = built.dictionary
       .filter($"term".isin(allTerms: _*))
       .collect().map(d => d.term -> d).toMap
@@ -186,7 +214,7 @@ object QueryOps {
     def idfOf(t: String): Double =
       dict.get(t).map(d => math.log((n / d.df).toDouble) / math.log(500.0)).getOrElse(0.0)
     val live = weights.filter { case (_, t, _, _) => idfOf(t) != 0.0 }
-    if (live.isEmpty) return emptyResult
+    if (live.isEmpty) return (emptyResult, Nil)
     val liveTerms = live.map(_._2).distinct
     // the single copy of the rank-identity-critical idf/max_tf per term —
     // the walk consumes exactly these (no second int-division site)
@@ -196,8 +224,12 @@ object QueryOps {
     // the walk's output is CAP-BOUNDED (≤ 200 clean postings per live term)
     // but NEVER transits the driver: it is persisted once (the count below
     // materializes the cache) and every consumer — the point-fetch id set,
-    // the fan-out join, the url join — reads the cached Dataset. The
-    // ContextCleaner unpersists it when the result's plan is GC'd.
+    // the fan-out join, the url join — reads the cached Dataset. It is
+    // explicitly unpersisted before this function returns (the result is
+    // eagerly materialized below): Spark's CacheManager holds persisted
+    // plans with STRONG references until an explicit unpersist, so leaving
+    // it to GC would leak one cache entry per batch call for the session
+    // lifetime in a long-running serving process.
     val (walkDf, walkScratch) = hygieneOf(built, forceBloomHygiene) match {
       case ExactSets(skipIds, throwIds) =>
         (walkTermPostings(spark, built, liveTerms, termStats, skipIds, throwIds), None)
@@ -216,7 +248,7 @@ object QueryOps {
     // once `postings` is materialized above it is dead weight — drop it now
     // instead of waiting for the ContextCleaner
     walkScratch.foreach(_.unpersist())
-    if (ids.isEmpty) { postings.unpersist(); return emptyResult }
+    if (ids.isEmpty) { postings.unpersist(); return (emptyResult, Nil) }
 
     // fan each term's walked postings out to its queries; the expansion
     // table is always tiny (queries × terms rows)
@@ -256,9 +288,10 @@ object QueryOps {
         lit(0.0d), (acc, x) => acc + x.getField("s")).as("score"))
 
     val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"url".asc)
-    scored.withColumn("rank", row_number().over(wRank))
+    val ranked = scored.withColumn("rank", row_number().over(wRank))
       .filter($"rank" <= 200)
       .select($"query_id", $"rank", $"url", $"score")
+    (ranked, Seq(postings))
   }
 
   /** Per-term serving-order walk with the hygiene filter applied BEFORE the

@@ -72,6 +72,15 @@ object Serving {
   private val cacheOwners =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.SparkContext]()
 
+  /** The ONE cache-key spelling: absolute + normalized, so a relative and
+    * an absolute spelling of the same directory share one entry — with
+    * normalize() alone ('data/pages' vs '/cwd/data/pages') the stale-listing
+    * eviction could evict one spelling while the other kept serving the
+    * stale resolved listing, the exact failure the normalization prevents. */
+  private def cacheKey(spark: SparkSession, pagesDir: String): (String, String) =
+    (spark.sparkContext.applicationId,
+      java.nio.file.Paths.get(pagesDir).toAbsolutePath.normalize().toString)
+
   private def pagesTable(spark: SparkSession, pagesDir: String): org.apache.spark.sql.DataFrame = {
     cacheOwners.putIfAbsent(spark.sparkContext.applicationId, spark.sparkContext)
     val it = cacheOwners.entrySet().iterator()
@@ -81,11 +90,7 @@ object Serving {
         pagesCache.keySet.removeIf(_._1 == e.getKey); it.remove()
       }
     }
-    pagesCache.computeIfAbsent(
-      // normalized key: "/data/pages" and "/data/pages/" must share one
-      // cache entry, or the stale-listing retry evicts only one spelling
-      (spark.sparkContext.applicationId,
-        java.nio.file.Paths.get(pagesDir).normalize().toString), _ => {
+    pagesCache.computeIfAbsent(cacheKey(spark, pagesDir), _ => {
       pagesLoads.incrementAndGet()
       spark.read.parquet(pagesDir)
     })
@@ -112,12 +117,10 @@ object Serving {
             if e.getMessage != null && e.getMessage.contains("FileNotFound") =>
           // the pages table was republished under this dir (new part files):
           // drop the stale resolved listing and retry once
-          pagesCache.remove((spark.sparkContext.applicationId,
-            java.nio.file.Paths.get(pagesDir).normalize().toString))
+          pagesCache.remove(cacheKey(spark, pagesDir))
           fetch()
         case _: java.io.FileNotFoundException =>
-          pagesCache.remove((spark.sparkContext.applicationId,
-            java.nio.file.Paths.get(pagesDir).normalize().toString))
+          pagesCache.remove(cacheKey(spark, pagesDir))
           fetch()
       }
     pageInfoJson(url, row)

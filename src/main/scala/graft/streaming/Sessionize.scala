@@ -28,7 +28,9 @@ final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
   * Practical state bound: buf holds one user's events younger than the
   * watermark delay D, i.e. ≤ that user's event rate × D rows — pick D
   * accordingly (a 10-events/s hot user at D = 10 min is 6k rows, well
-  * inside a state-store row). The open session is O(1) regardless. */
+  * inside a state-store row). The open session is O(1) regardless, and the
+  * bound is ENFORCED: past `maxBufferedPerKey` the query fails loudly
+  * instead of letting one adversarial key blow its state row. */
 final case class SessionBufState(open: Option[SessionState],
                                  buf: List[(Long, Long, Double)])
 
@@ -112,9 +114,19 @@ object Sessionize {
     * only once the watermark passes it (no admissible event can precede it
     * anymore); newer events wait in [[SessionBufState]]'s buffer. Folding
     * eagerly instead would let a late-but-admitted event rewind an open
-    * session's end and split/flush it with corrupt bounds. */
+    * session's end and split/flush it with corrupt bounds.
+    *
+    * `maxBufferedPerKey` CAPS the per-user out-of-order buffer: state is
+    * otherwise ∝ a user's event rate × the watermark delay, so one
+    * adversarial user (a bot hammering events inside a long delay window)
+    * could blow a single state-store row. On overflow the query FAILS
+    * LOUDLY naming the user — the documented choice over flush-with-warning,
+    * because an early flush silently corrupts that user's session bounds
+    * (a later-but-admissible event could still precede the flushed ones);
+    * the operator's remediation is a shorter delay or a larger cap. */
   def streamingWithTimeout(events: DataFrame, gapSec: Long,
-                           delay: String = "0 seconds"): Dataset[SessionOut] = {
+                           delay: String = "0 seconds",
+                           maxBufferedPerKey: Int = 1 << 20): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -171,6 +183,11 @@ object Sessionize {
             out += emit(uid, cur)
             cur = null
           }
+          if (hold.length > maxBufferedPerKey)
+            throw new IllegalStateException(
+              s"user $uid holds ${hold.length} buffered out-of-order events " +
+              s"(cap $maxBufferedPerKey) — one key's state row would grow unboundedly; " +
+              "shorten the watermark delay or raise maxBufferedPerKey")
           if (cur == null && hold.isEmpty) st.remove()
           else {
             st.update(SessionBufState(Option(cur), hold.toList))

@@ -118,15 +118,75 @@ object TableIO {
     }
   }
 
-  /** Files of a snapshot (default: current). */
+  /** Files of a snapshot (default: current). Time travel to an id whose
+    * metadata is gone — expired by [[expireSnapshots]], or never committed —
+    * fails loudly HERE with the cause, not with a bare path error three
+    * layers down. */
   def manifest(spark: SparkSession, dir: String,
                snapshotId: Option[Long] = None): Seq[FileEntry] = {
     val snap = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
       throw new IllegalStateException(s"no snapshot at $dir"))
+    val p = metaDir(dir).resolve(s"snapshot-$snap-files.jsonl")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"snapshot $snap at $dir does not exist or has been expired " +
+        s"(committed snapshots: ${snapshotIds(dir).mkString(", ")})")
     import spark.implicits._
     spark.read.schema("path STRING, rows BIGINT, partition STRING, fingerprint STRING")
-      .json(metaDir(dir).resolve(s"snapshot-$snap-files.jsonl").toString)
+      .json(p.toString)
       .as[FileEntry].collect().toSeq
+  }
+
+  /** All COMMITTED snapshot ids at `dir`, ascending (gaps where ids were
+    * expired). */
+  def snapshotIds(dir: String): Seq[Long] = {
+    val meta = metaDir(dir)
+    if (!Files.exists(meta)) return Seq.empty
+    val s = Files.list(meta)
+    val re = "snapshot-(\\d+)-meta\\.json".r
+    try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+      case re(id) => Some(id.toLong)
+      case _ => None
+    }).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Iceberg `expire_snapshots` analog: retain the `keepLast` highest
+    * committed snapshot ids (which always include the `current` pointer's),
+    * delete every older snapshot's metadata AND its `data/snap-<id>/`
+    * directory. Returns the expired ids.
+    *
+    * Hard-link aware BY LAYOUT, not by refcounting: every snapshot's
+    * manifest references files only under its own snap dir —
+    * [[writeResumable]] carries unchanged partitions forward as hard LINKS
+    * into the new snapshot's dir — so deleting an expired snapshot's dir
+    * removes directory entries only. A carried file's inode survives
+    * through every retained snapshot that links it and its bytes are
+    * reclaimed by the filesystem exactly when the LAST retainer expires.
+    * Time travel to an expired id fails loudly ([[manifest]]).
+    *
+    * Production note (object stores): this layout trades Iceberg's
+    * shared-file refcount walk for hard links, which need a POSIX
+    * filesystem; on S3-like stores the resumable writer would copy (or
+    * remote-link) instead, and expiry would diff retained manifests the
+    * same way Iceberg's delete-orphans does. */
+  def expireSnapshots(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentSnapshotId(dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val ids = snapshotIds(dir)
+    require(ids.contains(cur), s"current pointer $cur has no metadata at $dir")
+    val retained = ids.takeRight(keepLast).toSet + cur
+    val expired = ids.filterNot(retained)
+    for (id <- expired) {
+      // data first, metadata second: a crash mid-expiry leaves a snapshot
+      // whose manifest names missing files (read fails loudly) rather than
+      // orphan data files that nothing references or ever deletes
+      deleteRecursively(Paths.get(dir, "data", s"snap-$id"))
+      deleteRecursively(metaDir(dir).resolve(s"snapshot-$id-files.jsonl"))
+      deleteRecursively(metaDir(dir).resolve(s"snapshot-$id-meta.json"))
+    }
+    expired
   }
 
   /** Read a snapshot (default current) — time travel via `snapshotId`. An

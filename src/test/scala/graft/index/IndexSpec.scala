@@ -34,6 +34,27 @@ class IndexSpec extends AnyFunSuite {
     Source.fromInputStream(getClass.getResourceAsStream("/queries.txt"), "UTF-8")
       .getLines().toVector
 
+  test("closed-vocabulary build fails loudly past the vocabulary cap") {
+    import spark.implicits._
+    val triples = Seq(
+      ("u/a", "alpha", 2), ("u/a", "beta", 1), ("u/b", "gamma", 3),
+      ("u/b", "delta", 1), ("u/c", "epsilon", 2), ("u/c", "zeta", 1)
+    ).toDF("url", "term", "tf")
+    sys.props("graft.vocab.cap") = "4"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IndexBuild.fromUrlTermTf(spark, triples, parts = 2)
+      }
+      assert(e.getMessage.contains("openVocabulary"),
+        s"guard must point at the open-vocabulary path, got: ${e.getMessage}")
+      // the pointed-at remediation works on the same input under the cap
+      val open = IndexBuild.fromUrlTermTf(spark, triples, parts = 2,
+        openVocabulary = true)
+      assert(open.blocks.count() == 6L)
+      open.release()
+    } finally sys.props.remove("graft.vocab.cap")
+  }
+
   test("varbyte round-trip (seeded property sweep)") {
     val rng = new scala.util.Random(42)
     // boundary values around every 7-bit group edge
@@ -236,15 +257,18 @@ class IndexSpec extends AnyFunSuite {
     val s = Searcher.fromIndex(built, numDocs)
     // tiny thresholds force BOTH fallback branches (full docs scan + no
     // broadcast hint on the scored side); results must stay bit-identical
-    val df = graft.query.QueryOps.batchReferenceTopK(spark, built, queries,
-      numDocs, isinThreshold = 4, broadcastRowCap = 10)
+    // plan-shape assertions need the LAZY plan (the public API eagerly
+    // checkpoints, which collapses hints/cache nodes out of the plan string)
+    val (df, scratch) = graft.query.QueryOps.batchReferenceTopKPlan(spark, built,
+      queries, numDocs, isinThreshold = 4, broadcastRowCap = 10)
     // no broadcast hint on the scored/docs join: the index lineage carries
     // its own (build-time) hints, so compare RELATIVE to the default-
     // threshold plan — the fallback must place exactly one fewer hint (AQE
     // may still pick a broadcast join from RUNTIME sizes — that's the point)
     def hintCount(d: org.apache.spark.sql.DataFrame): Int =
       "(?i)resolvedhint".r.findAllIn(d.queryExecution.analyzed.toString).size
-    val dfDefault = graft.query.QueryOps.batchReferenceTopK(spark, built, queries, numDocs)
+    val (dfDefault, scratchDefault) =
+      graft.query.QueryOps.batchReferenceTopKPlan(spark, built, queries, numDocs)
     assert(hintCount(df) == hintCount(dfDefault) - 1,
       s"fallback ${hintCount(df)} vs default ${hintCount(dfDefault)} hints")
     val byQid = df.collect().groupBy(_.getInt(0))
@@ -253,6 +277,7 @@ class IndexSpec extends AnyFunSuite {
         .map(r => (r.getString(2), r.getDouble(3))).toList
       assert(got == s.referenceTopK(q), s"fallback batch query '$q'")
     }
+    (scratch ++ scratchDefault).foreach(_.unpersist())
   }
 
   test("a 1000-query log replay stays un-broadcast and spot-checks identical") {
@@ -269,12 +294,12 @@ class IndexSpec extends AnyFunSuite {
     // the batch-size row cap is what decides the join hint: the 1000-query
     // plan's worst-case scored rows (queries × terms × 200) exceed the cap
     // → no broadcast hint beyond the expansion table, unlike a tiny batch
-    val df = graft.query.QueryOps.batchReferenceTopK(spark, built, log, numDocs,
-      isinThreshold = 0)
+    val (df, scratch) = graft.query.QueryOps.batchReferenceTopKPlan(spark, built,
+      log, numDocs, isinThreshold = 0)
     def hintCount(d: org.apache.spark.sql.DataFrame): Int =
       "(?i)resolvedhint".r.findAllIn(d.queryExecution.analyzed.toString).size
-    val small = graft.query.QueryOps.batchReferenceTopK(spark, built, log.take(2),
-      numDocs, isinThreshold = 0)
+    val (small, scratchSmall) = graft.query.QueryOps.batchReferenceTopKPlan(spark,
+      built, log.take(2), numDocs, isinThreshold = 0)
     assert(hintCount(df) < hintCount(small),
       s"1000-query plan must drop a hint vs the 2-query plan")
     // the walked postings feed the plan from the persisted Dataset (an
@@ -296,6 +321,7 @@ class IndexSpec extends AnyFunSuite {
         .map(r => (r.getString(2), r.getDouble(3))).toList
       assert(got == s.referenceTopK(log(qi)), s"log query $qi '${log(qi)}'")
     }
+    (scratch ++ scratchSmall).foreach(_.unpersist())
   }
 
   test("bm25 block-max path agrees with exhaustive scoring") {

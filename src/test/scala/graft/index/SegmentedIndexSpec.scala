@@ -197,4 +197,52 @@ class SegmentedIndexSpec extends AnyFunSuite {
     for (t <- Seq("docs", "dictionary", "blocks"))
       assert(TableIO.currentSnapshotId(s"$dir/$t").contains(1L), t)
   }
+
+  test("expireSnapshots retains the last K, reclaims expired dirs, fails loudly on expired reads") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("segexpire").toString
+    // bucket 0 changes every version (rebuilt); bucket 1 is written once at
+    // v1 and carried forward as hard links by every later snapshot
+    def writeVersion(i: Int): Long =
+      TableIO.writeResumable(spark, dir, s"v$i", "bucket",
+        Map("0" -> s"fp$i", "1" -> "stable"),
+        parts => Seq((0, i * 100L), (1, 7L)).filter(r => parts.contains(r._1.toString))
+          .toDF("bucket", "payload"))._1
+    (1 to 4).foreach(writeVersion)
+    assert(TableIO.snapshotIds(dir) == Seq(1L, 2L, 3L, 4L))
+    def readSet(id: Long): Set[(Int, Long)] =
+      TableIO.read(spark, dir, Some(id)).collect()
+        .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("payload"))).toSet
+    val v3 = readSet(3L); val v4 = readSet(4L)
+    assert(v3 == Set((0, 300L), (1, 7L)) && v4 == Set((0, 400L), (1, 7L)))
+
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      val s = Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq finally s.close()
+    }
+    val before = dataFiles()
+    val expired = TableIO.expireSnapshots(dir, keepLast = 2)
+    assert(expired == Seq(1L, 2L))
+    assert(TableIO.snapshotIds(dir) == Seq(3L, 4L))
+    // retained snapshots read VERBATIM after expiry — including bucket 1,
+    // whose only surviving directory entries are the hard links v3/v4
+    // carried (the v1/v2 entries just vanished with their snap dirs)
+    assert(readSet(3L) == v3 && readSet(4L) == v4)
+    assert(TableIO.read(spark, dir).collect().length == 2) // current == v4
+    val after = dataFiles()
+    assert(after.size < before.size, s"expiry must drop dir entries: ${before.size} -> ${after.size}")
+    assert(!after.exists(_.toString.contains("snap-1")) &&
+      !after.exists(_.toString.contains("snap-2")))
+    // time travel to an expired id fails loudly, naming the cause
+    val e = intercept[IllegalStateException](TableIO.read(spark, dir, Some(1L)))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // lineage of retained snapshots is intact (resume keeps working):
+    // a v5 with unchanged fingerprints reuses BOTH buckets of v4
+    val (_, rebuilt5, reused5) = TableIO.writeResumable(spark, dir, "v5", "bucket",
+      Map("0" -> "fp4", "1" -> "stable"), _ => fail("nothing should rebuild"))
+    assert(rebuilt5.isEmpty && reused5 == Set("0", "1"))
+    // keepLast beyond the available history is a no-op
+    assert(TableIO.expireSnapshots(dir, keepLast = 10).isEmpty)
+  }
 }

@@ -143,4 +143,28 @@ class StreamSessionizeSpec extends AnyFunSuite {
       assert(!rows.exists(_._1 == 99L))
     } finally q.stop()
   }
+
+  test("the out-of-order buffer cap fails loudly instead of growing one key's state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    // a huge delay keeps every event above the watermark (still buffered);
+    // cap 2 makes the third buffered event of one user an overflow
+    val out = Sessionize.streamingWithTimeout(events, gapSec = 5L,
+      delay = "3600 seconds", maxBufferedPerKey = 2)
+    val q = out.writeStream.format("memory").queryName("sessions_cap")
+      .outputMode("append").start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      mem.addData((1L, t(100000L), 1L, 1.0), (2L, t(101000L), 1L, 1.0),
+        (3L, t(102000L), 1L, 1.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+      assert(messages(e).exists(_.contains("buffered out-of-order events")),
+        s"expected the loud buffer-cap failure, got: ${messages(e).mkString(" | ")}")
+    } finally q.stop()
+  }
 }
