@@ -822,6 +822,26 @@ object SparkEntry {
       graft.ml.MediaCodec.explodeVideoFrames(
         graft.ml.MediaCodec.generateVideos(s, 120)).toDF()),
 
+    // ---- DISTRIBUTED batch BM25 replay (offline relevance eval at scale):
+    // every live-term block decoded once for the whole batch, dl+url joined
+    // in one shuffle, per-(query,doc) contributions folded in pinned
+    // term-asc order, per-query top-k. Scores = exhaustive BM25 — the same
+    // contract the driver tier's finish pass guarantees (q31), oracled here
+    // with the same 1e-6 rounding. ----
+    "q52_batch_bm25" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val raw = graft.query.QueryOps.batchBm25TopK(s, builtFor(s, n), batchQueries, 10)
+      // the distributed job computes everything; only the ≤ k×queries result
+      // rows transit the driver, rounded with the exact math.rint ↔
+      // round_even pairing every other scorer oracle uses (q30/q31/q32)
+      s.createDataset(raw.collect().toIndexedSeq.map(r =>
+        (r.getInt(0), r.getInt(1), r.getString(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)))
+        .toDF("query_id", "rank", "url", "score")
+    }),
+
     // ---- snapshot TIME TRAVEL under the oracle: build segments over
     // corpus A (snapshot v1), overwrite with a mutated corpus (v2), then
     // read v1 BY SNAPSHOT ID — the result must be exactly corpus A's
@@ -906,6 +926,40 @@ object SparkEntry {
                 url, round(score, 6) AS score
          FROM comb)
        SELECT query_id, rank, url, score FROM ranked WHERE rank <= 200"""
+  }
+
+  /** DuckDB SQL for the BATCH BM25 replay: [[bm25Sql]]'s exact per-posting
+    * algebra with a (qid, term) expansion table, summed as an ORDERED fold
+    * in term-asc order — the engine's pinned accumulation sequence — and
+    * ranked per query. */
+  private def batchBm25Sql(k: Int, triplesName: String): String = {
+    val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+      graft.query.Searcher.expansionTerms(q).toSet.toSeq.sorted
+        .map(t => s"($qi, '$t')")
+    }.mkString(", ")
+    s"""WITH t(qid, term) AS (VALUES $vals),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
+       docs AS (SELECT url, sum(tf) AS dl FROM tr GROUP BY url),
+       stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*) AS nd FROM docs),
+       dict AS (SELECT term, count(*) AS df FROM tr GROUP BY term),
+       contrib AS (
+         SELECT t.qid, tr.url, tr.term,
+                ln((s.nd - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+                  * (tr.tf * (1.2e0 + 1)) / (tr.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dc.dl / s.avgdl)) AS c
+         FROM tr
+         JOIN dict d USING (term)
+         JOIN docs dc USING (url)
+         JOIN t ON t.term = tr.term
+         CROSS JOIN stats s),
+       scored AS (
+         SELECT qid, url, list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score
+         FROM contrib GROUP BY qid, url),
+       ranked AS (
+         SELECT qid AS query_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, url ASC) AS rank,
+                url, round_even(score * 1e6, 0) / 1e6 AS score
+         FROM scored)
+       SELECT query_id, rank, url, score FROM ranked WHERE rank <= $k"""
   }
 
   /** DuckDB SQL for the doc-detail lookup: same key constants, title
@@ -1348,6 +1402,7 @@ object SparkEntry {
          FROM s GROUP BY user_id, sess_no""",
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
+    "q52_batch_bm25" -> batchBm25Sql(10, triplesName(1000)),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

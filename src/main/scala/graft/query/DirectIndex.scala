@@ -12,20 +12,22 @@ import graft.index.{BuiltIndex, DictEntry, PostingBlock}
   * job scheduler anywhere in the query loop.
   *
   * Written DISTRIBUTED: each blocks/docs partition task streams its own
-  * shard file (`blocks-<pid>.bin` / `docs-<pid>.bin`); only per-block and
-  * per-shard INDEX records (a few dozen bytes each) return to the driver,
-  * which writes the small index files. At a 10^12-doc deployment each
-  * serving shard gets its own `terms.idx` (per-shard serving processes own
-  * their shard, exactly like the reference's KVS workers); here one global
-  * index file is written because one process serves everything.
+  * shard file (`blocks-<pid>.bin` / `docs-<pid>.bin`) AND its own index
+  * sidecar (`terms-<pid>.idx`) — per-shard serving processes own their
+  * shard, exactly like the reference's KVS workers own their rows. Only ONE
+  * record per shard/index file (a few dozen bytes) returns to the driver,
+  * which writes the tiny manifests: driver transit is bounded by the SHARD
+  * count, never by block or posting counts.
   *
   * Layout under `dir/`:
   *  - `meta.bin`    — numDocs, exact integer dl-sum, dlMin (the corpus
   *                    scalars BM25 needs; same arithmetic as
   *                    [[Searcher.fromIndex]] so scores are bit-identical);
   *  - `dict.bin`    — term → (df, max_tf); lexicon-bounded, loaded whole;
-  *  - `terms.idx`   — term → ordered (shard, offset) block refs in serving
-  *                    order (part_id asc, seq asc);
+  *  - `terms.manifest` + `terms-<pid>.idx` — per-partition term → ordered
+  *                    (part_id, seq, shard, offset) block refs, merged at
+  *                    open into serving order (part_id asc, seq asc); the
+  *                    legacy single global `terms.idx` stays readable;
   *  - `blocks-<pid>.bin` — per block: n, max_tf, the three varbyte payload
   *                    lengths, payloads (delta-coded doc ids, tfs, serving
   *                    permutation) — read with ONE seek per block;
@@ -177,8 +179,20 @@ object DirectIndex {
       "driver-shared filesystem: run in local mode, or point `dir` at a shared " +
       "mount visible to every executor and set -Dgraft.direct.fs.shared=true")
 
+  /** Write the serving sidecar. `perShardIndex = true` (the default, the
+    * production layout) has each blocks task write its OWN `terms-<pid>.idx`
+    * next to its shard rolls and return ONE record per index file to the
+    * driver, which writes only a tiny `terms.manifest` — driver transit is
+    * bounded by the shard count, like the reference's KVS workers owning
+    * their own rows. `false` keeps the legacy single global `terms.idx`
+    * (one record per posting BLOCK through the driver — fine at test scale,
+    * ~25M records at 10^11 postings, which is why it is no longer the
+    * default). Readers accept both layouts. Returns the number of records
+    * that transited the driver for the blocks index (observability for the
+    * bounded-transit contract). */
   def write(built: BuiltIndex, dir: String,
-            maxShardBytes: Long = DefaultMaxShardBytes): Unit = {
+            maxShardBytes: Long = DefaultMaxShardBytes,
+            perShardIndex: Boolean = true): Int = {
     new File(dir).mkdirs()
     val gen = newGenDir(dir, "index")
     val dirAbs = gen.getAbsolutePath
@@ -187,8 +201,9 @@ object DirectIndex {
     import spark.implicits._
 
     // ---- blocks shards: each task streams its partition, rolling files
-    // at the size cap ----
-    val blockRefs = built.blocks.mapPartitions { it =>
+    // at the size cap; the per-block index records stay TASK-LOCAL in the
+    // per-shard layout (written to the task's own terms-<pid>.idx) ----
+    val blockRecords = built.blocks.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val roll = new RollingShard(dirAbs, "blocks", pid, maxShardBytes, 0L)
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Int, Long)]
@@ -205,23 +220,60 @@ object DirectIndex {
         }
         roll.finish()
       } catch { case e: Throwable => roll.abort(); throw e }
-      acc.iterator
+      if (!perShardIndex) acc.iterator
+      else if (acc.isEmpty) Iterator.empty
+      else {
+        // this task's own index sidecar: refs carry (part_id, seq) so the
+        // open-time merge can restore global serving order. Attempt-isolated
+        // + atomic rename, exactly like the shard files themselves.
+        val name = s"terms-$pid.idx"
+        val tmp = attemptFile(dirAbs, name)
+        val byTerm = acc.groupBy(_._1)
+        val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
+        try {
+          idx.writeInt(byTerm.size)
+          for ((term, refs) <- byTerm.toSeq.sortBy(_._1)) {
+            val tb = term.getBytes("UTF-8")
+            idx.writeInt(tb.length); idx.write(tb)
+            idx.writeInt(refs.length)
+            for ((_, bPid, seq, shard, off) <- refs) {
+              idx.writeInt(bPid); idx.writeInt(seq)
+              idx.writeInt(shard); idx.writeLong(off)
+            }
+          }
+        } finally idx.close()
+        commitShardFile(tmp, dirAbs, name, keep = true)
+        // ONE driver record per index file: (marker, pid, nTerms, 0, 0)
+        Iterator.single(("", pid, byTerm.size, 0, 0L))
+      }
     }.collect()
 
-    // terms.idx: per term, block refs in serving order
-    val byTerm = blockRefs.groupBy(_._1)
-    val idx = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(new File(dirAbs, "terms.idx"))))
-    try {
-      idx.writeInt(byTerm.size)
-      for ((term, refs) <- byTerm.toSeq.sortBy(_._1)) {
-        val tb = term.getBytes("UTF-8")
-        idx.writeInt(tb.length); idx.write(tb)
-        val ordered = refs.sortBy(r => (r._2, r._3)) // (part_id, seq)
-        idx.writeInt(ordered.length)
-        for ((_, _, _, shard, off) <- ordered) { idx.writeInt(shard); idx.writeLong(off) }
-      }
-    } finally idx.close()
+    val driverRecords = blockRecords.length
+    if (perShardIndex) {
+      // terms.manifest: the per-partition index files to merge at open
+      val mf = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(new File(dirAbs, "terms.manifest"))))
+      try {
+        val pids = blockRecords.map(_._2).sorted
+        mf.writeInt(pids.length)
+        pids.foreach(mf.writeInt)
+      } finally mf.close()
+    } else {
+      // legacy global terms.idx: per term, block refs in serving order
+      val byTerm = blockRecords.groupBy(_._1)
+      val idx = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(new File(dirAbs, "terms.idx"))))
+      try {
+        idx.writeInt(byTerm.size)
+        for ((term, refs) <- byTerm.toSeq.sortBy(_._1)) {
+          val tb = term.getBytes("UTF-8")
+          idx.writeInt(tb.length); idx.write(tb)
+          val ordered = refs.sortBy(r => (r._2, r._3)) // (part_id, seq)
+          idx.writeInt(ordered.length)
+          for ((_, _, _, shard, off) <- ordered) { idx.writeInt(shard); idx.writeLong(off) }
+        }
+      } finally idx.close()
+    }
 
     // ---- docs shards: range-sorted by doc_id → contiguous id ranges,
     // rolled at the size cap (each roll is its own contiguous id subrange
@@ -297,6 +349,7 @@ object DirectIndex {
     } finally mout.close()
 
     commitGen(dir, "index", gen)
+    driverRecords
   }
 
   private[query] def readDict(dir: String): Map[String, DictEntry] = {
@@ -316,25 +369,68 @@ object DirectIndex {
     } finally in.close()
   }
 
+  /** Term → block refs in serving order, from EITHER index layout: the
+    * per-shard layout (`terms.manifest` + one `terms-<pid>.idx` per blocks
+    * partition, merged here — entries carry (part_id, seq) so the global
+    * serving order is restored across partitions) or the legacy global
+    * `terms.idx`. The merged map is lexicon-bounded either way, so open-time
+    * memory is unchanged; what the per-shard layout removes is the
+    * per-BLOCK fan-in through the write-time driver. */
   private[query] def readTermRefs(dir: String): Map[String, IndexedSeq[BlockRef]] = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      new FileInputStream(new File(dir, "terms.idx"))))
-    try {
-      val n = in.readInt()
-      val b = Map.newBuilder[String, IndexedSeq[BlockRef]]
-      var i = 0
-      while (i < n) {
-        val tb = new Array[Byte](in.readInt()); in.readFully(tb)
-        val term = new String(tb, "UTF-8")
-        val cnt = in.readInt()
-        val refs = IndexedSeq.newBuilder[BlockRef]
-        var j = 0
-        while (j < cnt) { refs += BlockRef(in.readInt(), in.readLong()); j += 1 }
-        b += term -> refs.result()
-        i += 1
+    val manifest = new File(dir, "terms.manifest")
+    if (manifest.exists()) {
+      val pids = {
+        val in = new DataInputStream(new java.io.BufferedInputStream(
+          new FileInputStream(manifest)))
+        try IndexedSeq.fill(in.readInt())(in.readInt()) finally in.close()
       }
-      b.result()
-    } finally in.close()
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int, BlockRef)]]
+      for (pid <- pids) {
+        val in = new DataInputStream(new java.io.BufferedInputStream(
+          new FileInputStream(new File(dir, s"terms-$pid.idx"))))
+        try {
+          val n = in.readInt()
+          var i = 0
+          while (i < n) {
+            val tb = new Array[Byte](in.readInt()); in.readFully(tb)
+            val term = new String(tb, "UTF-8")
+            val cnt = in.readInt()
+            val buf = acc.getOrElseUpdate(term,
+              scala.collection.mutable.ArrayBuffer.empty[(Int, Int, BlockRef)])
+            var j = 0
+            while (j < cnt) {
+              val bPid = in.readInt(); val seq = in.readInt()
+              buf += ((bPid, seq, BlockRef(in.readInt(), in.readLong())))
+              j += 1
+            }
+            i += 1
+          }
+        } finally in.close()
+      }
+      acc.iterator.map { case (t, refs) =>
+        t -> refs.sortBy(r => (r._1, r._2)).map(_._3).toIndexedSeq
+      }.toMap
+    } else {
+      val in = new DataInputStream(new java.io.BufferedInputStream(
+        new FileInputStream(new File(dir, "terms.idx"))))
+      try {
+        val n = in.readInt()
+        val b = Map.newBuilder[String, IndexedSeq[BlockRef]]
+        var i = 0
+        while (i < n) {
+          val tb = new Array[Byte](in.readInt()); in.readFully(tb)
+          val term = new String(tb, "UTF-8")
+          val cnt = in.readInt()
+          val refs = IndexedSeq.newBuilder[BlockRef]
+          var j = 0
+          while (j < cnt) { refs += BlockRef(in.readInt(), in.readLong()); j += 1 }
+          b += term -> refs.result()
+          i += 1
+        }
+        b.result()
+      } finally in.close()
+    }
   }
 
   private[query] def readDocShards(dir: String): IndexedSeq[(Int, Long, Int, Long)] = {

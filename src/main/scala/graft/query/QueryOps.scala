@@ -294,6 +294,93 @@ object QueryOps {
     (ranked, Seq(postings))
   }
 
+  /** Batch BM25 replay — the DISTRIBUTED twin of [[Searcher.bm25TopK]] for
+    * offline relevance eval at scale (the driver tier walks blocks in
+    * impact order with block-max pruning; an eval job over 10⁵ queries
+    * wants one Dataset plan instead of 10⁵ driver loops).
+    *
+    * Scores are EXHAUSTIVE BM25 — the same contract [[Searcher.bm25TopK]]'s
+    * finish pass guarantees — computed as: decode every block of the batch's
+    * live terms ONCE (shared terms amortize across queries), join doc
+    * length + url from the docs table (one shuffle on doc_id), fan out to
+    * queries via the tiny broadcast (query_id, term) table, and fold each
+    * (query, doc)'s per-term contributions in PINNED term-asc order (an
+    * ordered `aggregate` over `sort_array`, immune to partition
+    * reassociation — the same discipline as the reference scorer's ordered
+    * fold). Equality to the driver tier is up to FP-summation order (the
+    * driver accumulates in dynamic impact order): both sides land on the
+    * same values under the q31 oracle's 1e-6 rounding, which IndexSpec
+    * asserts per query.
+    *
+    * Returns (query_id, rank, url, score — UNROUNDED), rank ≤ k by
+    * (score desc, url asc), urls RAW stored urls (BM25 is the performance
+    * scorer — no reference url-decode/hygiene semantics, exactly like the
+    * driver tier). Queries with no live term emit no rows. */
+  def batchBm25TopK(spark: SparkSession, built: BuiltIndex,
+                    queries: Seq[String], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    def emptyResult: DataFrame = spark.emptyDataFrame
+      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
+      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+
+    // driver-side expansion — [[Searcher.bm25TopK]]'s exact term rule:
+    // surface ∪ stems, sorted, dictionary-present
+    val allTerms = queries.flatMap(Searcher.expansionTerms).distinct
+    if (allTerms.isEmpty) return emptyResult
+    val dict = built.dictionary
+      .filter($"term".isin(allTerms: _*))
+      .collect().map(d => d.term -> d).toMap
+    val live = queries.zipWithIndex.flatMap { case (q, qi) =>
+      Searcher.expansionTerms(q).toSet.toSeq.sorted.filter(dict.contains)
+        .map(t => (qi, t))
+    }
+    if (live.isEmpty) return emptyResult
+    val liveTerms = live.map(_._2).distinct
+
+    // corpus scalars with [[Searcher.fromIndex]]'s exact arithmetic: the
+    // integer dl sum is exact and order-free, → double ONCE
+    val statsRow = built.docs.toDF()
+      .agg(count(lit(1)), sum($"dl"), min($"dl")).head()
+    val nd = statsRow.getLong(0)
+    if (nd == 0) return emptyResult
+    val avgdl = statsRow.getLong(1).toDouble / nd
+    val idfOf = liveTerms.map { t =>
+      val df = dict(t).df
+      t -> math.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val idfDf = broadcast(idfOf.toDF("term", "idf"))
+    val weightsDf = broadcast(live.toDF("query_id", "term"))
+
+    // decode every live-term block once for the whole batch (doc order —
+    // no serving permutation needed for BM25)
+    val posts = built.blocks
+      .filter($"term".isin(liveTerms: _*))
+      .flatMap { blk =>
+        val (ids, tfs) = IndexBuild.decodeBlockDocOrder(blk)
+        Iterator.tabulate(ids.length)(i => (blk.term, ids(i), tfs(i)))
+      }.toDF("term", "doc_id", "tf")
+
+    val contrib = posts
+      .join(built.docs.toDF().select($"doc_id", $"dl", $"url"), Seq("doc_id"))
+      .join(idfDf, Seq("term"))
+      .join(weightsDf, Seq("term"))
+      .select($"query_id", $"doc_id", $"url", $"term",
+        ($"idf" * ($"tf" * lit(k1 + 1)) /
+          ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * $"dl" / lit(avgdl))))
+          .as("c"))
+
+    val scored = contrib
+      .groupBy($"query_id", $"doc_id", $"url")
+      .agg(aggregate(sort_array(collect_list(struct($"term", $"c"))),
+        lit(0.0d), (acc, x) => acc + x.getField("c")).as("score"))
+
+    val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"url".asc)
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"url", $"score")
+  }
+
   /** Per-term serving-order walk with the hygiene filter applied BEFORE the
     * 200-cap. Blocks of each term are pruned by the window cumsum (a block
     * can only matter while prior CLEAN postings < 200; prior_raw −

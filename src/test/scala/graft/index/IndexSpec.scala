@@ -324,6 +324,22 @@ class IndexSpec extends AnyFunSuite {
     (scratch ++ scratchSmall).foreach(_.unpersist())
   }
 
+  test("distributed batch BM25 matches the driver tier per query (1e-6 rounding)") {
+    val s = Searcher.fromIndex(built, numDocs)
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val byQid = graft.query.QueryOps.batchBm25TopK(spark, built, queries, k = 10)
+      .collect().groupBy(_.getInt(0))
+    for ((q, qi) <- queries.zipWithIndex) {
+      val got = byQid.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r6(r.getDouble(3)))).toList
+      val want = s.bm25TopK(q, 10).map { case (u, sc) => (u, r6(sc)) }
+      // equality up to FP-summation order: the driver accumulates in dynamic
+      // impact order, the batch twin in pinned term-asc order — identical
+      // values under the q31 oracle's 1e-6 rounding
+      assert(got == want, s"batch bm25 '$q'")
+    }
+  }
+
   test("bm25 block-max path agrees with exhaustive scoring") {
     val s = Searcher.fromIndex(built, numDocs)
     // exhaustive: same formula, no pruning, via oracle-side recompute

@@ -157,6 +157,32 @@ class DirectSearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("per-shard index layout serves identically to the global terms.idx, shard-bounded transit") {
+    val dGlobal = Files.createTempDirectory("graft-direct-global").toFile.getAbsolutePath
+    val recGlobal = DirectIndex.write(built, dGlobal, perShardIndex = false)
+    val dShard = Files.createTempDirectory("graft-direct-shard").toFile.getAbsolutePath
+    val recShard = DirectIndex.write(built, dShard)
+    // write-time driver transit: the legacy layout fans ONE RECORD PER BLOCK
+    // into the driver; the per-shard layout one per index FILE (≤ parts=5)
+    assert(recGlobal == built.blocks.count(),
+      s"global layout transits per-block records, got $recGlobal")
+    assert(recShard <= 5 && recShard < recGlobal,
+      s"per-shard transit must be shard-bounded: $recShard vs $recGlobal")
+    // layout shape: manifest + per-partition idx files, no global terms.idx
+    val gen = new java.io.File(DirectIndex.resolveDir(dShard, "index"))
+    assert(new java.io.File(gen, "terms.manifest").exists())
+    assert(gen.listFiles().exists(_.getName.matches("terms-\\d+\\.idx")))
+    assert(!new java.io.File(gen, "terms.idx").exists())
+    // results identical across layouts on the full query set (incl. the
+    // adversarial hygiene corpus baked into `built`)
+    val sGlobal = DirectSearcher.open(dGlobal, numDocs)
+    val sShard = DirectSearcher.open(dShard, numDocs)
+    for (q <- queries ++ Seq("telescope", "", "zzzabsent")) {
+      assert(sShard.referenceTopK(q) == sGlobal.referenceTopK(q), s"ref '$q'")
+      assert(sShard.bm25TopK(q, 10) == sGlobal.bm25TopK(q, 10), s"bm25 '$q'")
+    }
+  }
+
   test("PageRank blend serves from the ranks sidecar with zero jobs") {
     val (ranksDs, _) = graft.rank.PageRank.compute(spark, pages)
     val ranksMap = ranksDs.collect().map(r => r.url -> r.rank).toMap
