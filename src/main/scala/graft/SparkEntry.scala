@@ -842,6 +842,33 @@ object SparkEntry {
         .toDF("query_id", "rank", "url", "score")
     }),
 
+    // ---- CONTENT-ADDRESSED media asset dedup: the pipeline op a 100 TB
+    // multimodal corpus runs right after decode — re-crawled/re-hosted
+    // copies of one asset share a content address computed from the DECODED
+    // canonical form (container re-encodes of identical pixels/samples
+    // collapse), exact-dedup keeps the min-id representative. 300 assets
+    // carry 100 distinct contents (asset_id % 100), decoded by the REAL
+    // q45 codecs from the bytes alone; the oracle recomputes the decoded
+    // records from the generator formulas and replays the same min-id
+    // grouping in SQL. ----
+    "q53_media_dedup" -> ((s, _) => {
+      import s.implicits._
+      val assets = s.range(300).mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { rid =>
+          val cid = rid % 100 // three re-hosted copies of each content
+          graft.ml.RealAsset(rid, graft.ml.MediaCodec.formatOf(cid),
+            graft.ml.MediaCodec.encode(cid))
+        }
+      }
+      val decoded = graft.ml.MediaCodec.decodeAll(assets).toDF()
+      val addressed = decoded.withColumn("content_key",
+        concat_ws("|", col("format"), col("width"), col("height"),
+          col("sample_rate"), col("n_units"), col("checksum")))
+      graft.ml.Dedup.exactDedup(addressed, "content_key", "asset_id")
+        .select(col("asset_id"), col("format"), col("n_units"), col("checksum"))
+    }),
+
     // ---- snapshot TIME TRAVEL under the oracle: build segments over
     // corpus A (snapshot v1), overwrite with a mutated corpus (v2), then
     // read v1 BY SNAPSHOT ID — the result must be exactly corpus A's
@@ -1293,6 +1320,40 @@ object SparkEntry {
                   CAST(sum((id * 73 + i * 37) % 4096 - 2048) AS BIGINT) AS checksum
            FROM w1 GROUP BY id, sr, n)
          SELECT * FROM img UNION ALL SELECT * FROM wav""",
+
+    // q53: the q45 generator formulas recomputed per CONTENT id (asset_id
+    // % 100), then the same content-address grouping + min-id keep in SQL
+    "q53_media_dedup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+         m AS (SELECT id AS asset_id, id % 100 AS cid FROM ids),
+         cids AS (SELECT DISTINCT cid FROM m),
+         i0 AS (SELECT cid, 8 + cid % 17 AS w, 8 + (cid // 17) % 13 AS h
+                FROM cids WHERE cid % 3 <> 0),
+         i1 AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM i0),
+         i2 AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM i1),
+         i3 AS (SELECT *, unnest(generate_series(0, 2)) AS c FROM i2),
+         cimg AS (
+           SELECT cid,
+                  CASE WHEN cid % 3 = 1 THEN 'png' ELSE 'bmp' END AS format,
+                  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                  0 AS sample_rate, CAST(w * h AS BIGINT) AS n_units,
+                  CAST(sum((cid * 31 + x * 7 + y * 13 + c * 101) % 256) AS BIGINT) AS checksum
+           FROM i3 GROUP BY cid, w, h),
+         w0 AS (SELECT cid, 8000 + (cid % 4) * 4000 AS sr, 200 + (cid % 5) * 50 AS n
+                FROM cids WHERE cid % 3 = 0),
+         w1 AS (SELECT *, unnest(generate_series(0, n - 1)) AS i FROM w0),
+         cwav AS (
+           SELECT cid, 'wav' AS format, 0 AS width, 0 AS height,
+                  CAST(sr AS INTEGER) AS sample_rate, CAST(n AS BIGINT) AS n_units,
+                  CAST(sum((cid * 73 + i * 37) % 4096 - 2048) AS BIGINT) AS checksum
+           FROM w1 GROUP BY cid, sr, n),
+         content AS (SELECT * FROM cimg UNION ALL SELECT * FROM cwav),
+         joined AS (SELECT m.asset_id, c.* FROM m JOIN content c USING (cid)),
+         keep AS (SELECT min(asset_id) AS asset_id
+                  FROM joined
+                  GROUP BY format, width, height, sample_rate, n_units, checksum)
+         SELECT j.asset_id, j.format, j.n_units, j.checksum
+         FROM joined j JOIN keep USING (asset_id)""",
 
     // q47: recursive-CTE reachability over the dumped pair graph — each
     // node's component is its minimum reachable id, exactly what the

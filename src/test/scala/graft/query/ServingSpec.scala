@@ -65,6 +65,57 @@ class ServingSpec extends AnyFunSuite {
     assert(got.contains("\"abstract\":\"No Information Available\""))
   }
 
+  test("HTTP surface round-trips byte-identical bodies over the direct tier") {
+    import spark.implicits._
+    // direct-tier artifacts: index + pages + ranks sidecars
+    val pages = Corpus.generate(spark, numDocs)
+    val built = IndexBuild.build(spark, pages, Corpus.lexicon, parts = 4, blockSize = 64)
+    val dir = Files.createTempDirectory("serving-http").toString
+    DirectIndex.write(built, dir)
+    DirectIndex.writePages(
+      pages.map(p => (RefHasher.hash(p.url), p.url, new String(p.html, "UTF-8")))
+        .toDF("key", "url", "html"), dir)
+    val (ranksDs, _) = graft.rank.PageRank.compute(spark, pages)
+    DirectIndex.writeRanks(ranksDs, dir)
+
+    val ds = DirectSearcher.open(dir, numDocs)
+    val dp = DirectPages.open(dir)
+    val dr = DirectRanks.open(dir)
+    val srv = HttpServing.start(ds, dp, Some(dr))
+    try {
+      def get(pathAndQuery: String): (Int, String, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}$pathAndQuery")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (is == null) "" else
+          try new String(is.readAllBytes(), "UTF-8") finally is.close()
+        (code, body, conn.getHeaderField("Content-Type"))
+      }
+      // hello route, verbatim (Backend.java:36-38)
+      assert(get("/") == ((200, "<html><h2>HELLO</h2></html>", "text/html")))
+      // /query: byte-identical to Serving.searchJson over the SAME tier,
+      // incl. the pagerank blend and a '+'-encoded multi-term query
+      for (q <- Seq("galaxy", "galaxy engine search", "the", "zzzabsent")) {
+        val enc = java.net.URLEncoder.encode(q, "UTF-8")
+        val (code, body, ct) = get(s"/query?query=$enc")
+        assert(code == 200 && ct == "application/json")
+        assert(body == Serving.searchJson(
+          x => ds.referenceTopK(x, Some(dr.prFunction)), q), s"query '$q'")
+      }
+      // /query/:url: byte-identical detail JSON, hit + miss
+      val url = Corpus.urlOf(7, 16)
+      val encUrl = java.net.URLEncoder.encode(url, "UTF-8")
+      assert(get(s"/query/$encUrl")._2 == dp.detailJson(url))
+      val miss = java.net.URLEncoder.encode("http://nowhere.example/x", "UTF-8")
+      assert(get(s"/query/$miss")._2 ==
+        Serving.pageInfoJson("http://nowhere.example/x", None))
+      // missing query param serves the empty query's list; junk path 404s
+      assert(get("/query")._1 == 200)
+      assert(get("/nope")._1 == 404)
+    } finally srv.stop()
+  }
+
   test("pages table is resolved once across repeated lookups") {
     Serving.detailJson(spark, pagesDir, Corpus.urlOf(1, 16)) // ensure cached
     val before = Serving.pagesLoads.get()
