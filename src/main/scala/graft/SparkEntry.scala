@@ -892,6 +892,48 @@ object SparkEntry {
         s, mutated, graft.corpus.Corpus.lexicon, dir, buckets = 8)
       graft.tables.TableIO.read(s, dir, Some(r1.snapshotId))
         .select(col("url"), col("term"), col("tf"))
+    }),
+
+    // ---- snapshot EXPIRY chained with time travel (the retention op a
+    // production table written hourly needs): v1 = a mutated corpus, v2 =
+    // corpus A (rebuilding only the mutated bucket — v2 carries v1's clean
+    // buckets as HARD LINKS), v3 = another mutation. Expire keep-2: v1's
+    // metadata and dir entries go away (reading it fails loudly — required
+    // in-query), while the RETAINED superseded v2 still reads verbatim —
+    // including the buckets whose only surviving directory entries are the
+    // links v2 carried from the now-expired v1. The oracle is corpus A's
+    // tokenizer triples, q51's contract. ----
+    "q54_snapshot_expiry" -> ((s, _) => {
+      import s.implicits._
+      val n = 500
+      dumpTriplesOnce(s, n)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q54").toString
+      val pages = graft.corpus.Corpus.generate(s, n)
+      def mutate(tag: String) = pages.map { p =>
+        if (p.url.endsWith("/p/7"))
+          p.copy(html = new String(p.html, "UTF-8")
+            .replace("<p>", s"<p>$tag mutation galaxy ").getBytes("UTF-8"))
+        else p
+      }
+      val r1 = graft.index.SegmentedIndex.buildSegments(
+        s, mutate("expiry-v1"), graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      val r2 = graft.index.SegmentedIndex.buildSegments(
+        s, pages, graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      require(r2.rebuilt.size == 1,
+        s"v2 must rebuild only the mutated bucket, got ${r2.rebuilt}")
+      graft.index.SegmentedIndex.buildSegments(
+        s, mutate("expiry-v3"), graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      val expired = graft.tables.TableIO.expireSnapshots(dir, keepLast = 2)
+      require(expired == Seq(r1.snapshotId), s"expected v1 expired, got $expired")
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "data", s"snap-${r1.snapshotId}")),
+        "expired snapshot's data dir must be reclaimed")
+      val v1Gone =
+        try { graft.tables.TableIO.read(s, dir, Some(r1.snapshotId)); false }
+        catch { case e: IllegalStateException => e.getMessage.contains("expired") }
+      require(v1Gone, "time travel to the expired snapshot must fail loudly")
+      graft.tables.TableIO.read(s, dir, Some(r2.snapshotId))
+        .select(col("url"), col("term"), col("tf"))
     })
   )
 
@@ -1437,6 +1479,12 @@ object SparkEntry {
     // q51: the time-traveled snapshot must equal corpus A's tokenizer
     // triples verbatim — the segment table's rows minus the bucket column
     "q51_time_travel" ->
+      s"""SELECT url, term, tf
+         FROM read_parquet('${auxDir}/triples_500/*.parquet')""",
+
+    // q54: the RETAINED superseded snapshot (v2) is corpus A — same
+    // contract as q51; the expiry effects themselves are require()d in-query
+    "q54_snapshot_expiry" ->
       s"""SELECT url, term, tf
          FROM read_parquet('${auxDir}/triples_500/*.parquet')""",
 
