@@ -281,7 +281,8 @@ object Bench {
             val txt = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(floorFile)), "UTF-8")
             "\"(\\d+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-              .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+              .map(m => m.group(1).toInt -> m.group(2).toDouble)
+              .filter(_._2 > 0).toMap // a 0.0 floor would pass always — drop it
           } catch { case _: Exception => Map.empty }
         if (floors.isEmpty)
           System.err.println(s"[bench] no throughput floors at $floorFile — spread gating only")
@@ -426,9 +427,12 @@ object Bench {
             val clean = runs(c).filter(_.steal < 0.015)
             c -> (if (clean.isEmpty) 0.0 else clean.map(r => numDocs / r.buildSec).max)
           }.toMap
-          val merged = (floors.keySet ++ measured.keySet).toSeq.sorted.map { c =>
+          // a level with no clean-steal rep this run and no prior floor must
+          // NOT persist as 0.0 — floors.contains(c) would then permanently
+          // pick the (always-passing) floor branch over the spread fallback
+          val merged = (floors.keySet ++ measured.keySet).toSeq.sorted.flatMap { c =>
             val v = math.max(floors.getOrElse(c, 0.0), measured.getOrElse(c, 0.0))
-            f""""$c": $v%.1f"""
+            if (v > 0) Some(f""""$c": $v%.1f""") else None
           }
           if (merged.nonEmpty) {
             val txt = "{\"comment\": \"Known CLEAN build throughput (docs/sec) per " +

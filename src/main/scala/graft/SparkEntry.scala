@@ -862,8 +862,10 @@ object SparkEntry {
         }
       }
       val decoded = graft.ml.MediaCodec.decodeAll(assets).toDF()
+      // the address is the DECODED form only — format deliberately excluded,
+      // so a PNG and a BMP holding identical pixels share one address
       val addressed = decoded.withColumn("content_key",
-        concat_ws("|", col("format"), col("width"), col("height"),
+        concat_ws("|", col("width"), col("height"),
           col("sample_rate"), col("n_units"), col("checksum")))
       graft.ml.Dedup.exactDedup(addressed, "content_key", "asset_id")
         .select(col("asset_id"), col("format"), col("n_units"), col("checksum"))
@@ -1393,7 +1395,7 @@ object SparkEntry {
          joined AS (SELECT m.asset_id, c.* FROM m JOIN content c USING (cid)),
          keep AS (SELECT min(asset_id) AS asset_id
                   FROM joined
-                  GROUP BY format, width, height, sample_rate, n_units, checksum)
+                  GROUP BY width, height, sample_rate, n_units, checksum)
          SELECT j.asset_id, j.format, j.n_units, j.checksum
          FROM joined j JOIN keep USING (asset_id)""",
 

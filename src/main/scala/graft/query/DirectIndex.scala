@@ -229,20 +229,27 @@ object DirectIndex {
         val name = s"terms-$pid.idx"
         val tmp = attemptFile(dirAbs, name)
         val byTerm = acc.groupBy(_._1)
-        val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
         try {
-          idx.writeInt(byTerm.size)
-          for ((term, refs) <- byTerm.toSeq.sortBy(_._1)) {
-            val tb = term.getBytes("UTF-8")
-            idx.writeInt(tb.length); idx.write(tb)
-            idx.writeInt(refs.length)
-            for ((_, bPid, seq, shard, off) <- refs) {
-              idx.writeInt(bPid); idx.writeInt(seq)
-              idx.writeInt(shard); idx.writeLong(off)
+          val idx = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
+          try {
+            idx.writeInt(byTerm.size)
+            for ((term, refs) <- byTerm.toSeq.sortBy(_._1)) {
+              val tb = term.getBytes("UTF-8")
+              idx.writeInt(tb.length); idx.write(tb)
+              idx.writeInt(refs.length)
+              for ((_, bPid, seq, shard, off) <- refs) {
+                idx.writeInt(bPid); idx.writeInt(seq)
+                idx.writeInt(shard); idx.writeLong(off)
+              }
             }
-          }
-        } finally idx.close()
-        commitShardFile(tmp, dirAbs, name, keep = true)
+          } finally idx.close()
+          commitShardFile(tmp, dirAbs, name, keep = true)
+        } catch {
+          // same discipline as roll.abort(): a failed/killed attempt must
+          // not leave its .attempt temp in the generation dir for the
+          // commit to carry forever
+          case e: Throwable => tmp.delete(); throw e
+        }
         // ONE driver record per index file: (marker, pid, nTerms, 0, 0)
         Iterator.single(("", pid, byTerm.size, 0, 0L))
       }

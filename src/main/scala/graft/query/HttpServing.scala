@@ -22,7 +22,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   * Differences, deliberate and small: a missing `query` parameter serves
   * the empty query's result list (the reference logs "query is null" and
-  * then NPEs inside parseQuery — replicating a 500 helps nobody), and
+  * then NPEs inside parseQuery — replicating a 500 helps nobody), a
+  * malformed %-escape in either decode position returns 400 Bad Request
+  * (the reference's framework would 500 on the decoder throw), and
   * unknown paths return 404 where the reference's framework returns its own
   * error page. Everything with a body is byte-for-byte [[Serving]] output.
   *
@@ -80,13 +82,22 @@ object HttpServing {
         else if (path == "/")
           respond(ex, 200, "<html>" + "<h2>HELLO</h2>" + "</html>", "text/html")
         else if (path == "/query") {
-          val q = queryParam(ex.getRequestURI.getRawQuery).getOrElse("")
-          val body = Serving.searchJson(query => searcher.referenceTopK(query, pr), q)
-          respond(ex, 200, body, "application/json")
+          // a malformed %-escape is a CLIENT error — 400, not the generic 500
+          try {
+            val q = queryParam(ex.getRequestURI.getRawQuery).getOrElse("")
+            val body = Serving.searchJson(query => searcher.referenceTopK(query, pr), q)
+            respond(ex, 200, body, "application/json")
+          } catch {
+            case _: IllegalArgumentException => respond(ex, 400, "", "text/plain")
+          }
         } else if (path.startsWith("/query/")) {
           // the :url path parameter, URL-decoded like Backend.java:148
-          val url = java.net.URLDecoder.decode(path.stripPrefix("/query/"), "UTF-8")
-          respond(ex, 200, pages.detailJson(url), "application/json")
+          try {
+            val url = java.net.URLDecoder.decode(path.stripPrefix("/query/"), "UTF-8")
+            respond(ex, 200, pages.detailJson(url), "application/json")
+          } catch {
+            case _: IllegalArgumentException => respond(ex, 400, "", "text/plain")
+          }
         } else respond(ex, 404, "", "text/plain")
       } catch {
         case e: Exception =>

@@ -338,10 +338,10 @@ object QueryOps {
     if (live.isEmpty) return emptyResult
     val liveTerms = live.map(_._2).distinct
 
-    // corpus scalars with [[Searcher.fromIndex]]'s exact arithmetic: the
-    // integer dl sum is exact and order-free, → double ONCE
+    // corpus scalars (nd, avgdl) with [[Searcher.fromIndex]]'s exact
+    // arithmetic: the integer dl sum is exact and order-free, → double ONCE
     val statsRow = built.docs.toDF()
-      .agg(count(lit(1)), sum($"dl"), min($"dl")).head()
+      .agg(count(lit(1)), sum($"dl")).head()
     val nd = statsRow.getLong(0)
     if (nd == 0) return emptyResult
     val avgdl = statsRow.getLong(1).toDouble / nd
