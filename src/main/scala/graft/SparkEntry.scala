@@ -936,7 +936,34 @@ object SparkEntry {
       require(v1Gone, "time travel to the expired snapshot must fail loudly")
       graft.tables.TableIO.read(s, dir, Some(r2.snapshotId))
         .select(col("url"), col("term"), col("tf"))
-    })
+    }),
+
+    // ---- C4-style LINE-LEVEL corpus dedup: drop every 10-token line that
+    // appears in >= 2 distinct documents (cross-document boilerplate),
+    // reassemble the survivors in order. 127 of sf0.01's 2,798 lines are
+    // cross-doc duplicates, so the pass is non-trivial on the real table ----
+    "q55_line_dedup" -> ((s, d) =>
+      graft.ml.TextAnalysis.lineDedup(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- repetition-ratio quality signals: duplicate bi/tri-gram fraction
+    // per document (Gopher/RefinedWeb repetition filters) ----
+    "q56_repetition" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(col("doc_id"),
+        round(graft.ml.TextAnalysis.repetitionRatio(col("text"), 2), 4)
+          .as("dup_bigram_frac"),
+        round(graft.ml.TextAnalysis.repetitionRatio(col("text"), 3), 4)
+          .as("dup_trigram_frac"))
+    }),
+
+    // ---- tf-idf "more like this": top-5 lexically most similar docs for
+    // each of 5 query docs, cosine over tf-idf vectors with term-ordered
+    // FP folds (the related-pages op, served off the posting shape) ----
+    "q57_more_like_this" -> ((s, d) =>
+      graft.ml.MoreLikeThis.topK(t(s, d, "documents"), "doc_id", "text",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score")))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1575,6 +1602,89 @@ object SparkEntry {
            FROM m)
          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events, round(sum(value), 4) AS sum_value
-         FROM s GROUP BY user_id, sess_no"""
+         FROM s GROUP BY user_id, sess_no""",
+
+    // q55: C4-style line dedup — 10-token lines, drop lines in >=2 docs,
+    // reassemble survivors in order; every input doc appears in the output
+    "q55_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                    FROM documents),
+         pos AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM d),
+         tok AS (SELECT doc_id, i, l[i] AS tok FROM pos WHERE l[i] <> ''),
+         lines AS (SELECT doc_id, (i - 1) // 10 AS line_id,
+                          string_agg(tok, ' ' ORDER BY i) AS line
+                   FROM tok GROUP BY doc_id, (i - 1) // 10),
+         dup AS (SELECT line FROM lines GROUP BY line
+                 HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM dup)),
+         per_doc AS (SELECT doc_id,
+                            string_agg(line, ' ' ORDER BY line_id) AS clean_text,
+                            count(*) AS n_lines_kept
+                     FROM kept GROUP BY doc_id),
+         totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+         SELECT d0.doc_id,
+                coalesce(p.clean_text, '') AS clean_text,
+                coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+                coalesce(p.n_lines_kept, 0)::BIGINT AS n_lines_kept
+         FROM documents d0
+         LEFT JOIN totals t USING (doc_id)
+         LEFT JOIN per_doc p USING (doc_id)""",
+
+    // q56: duplicate n-gram fractions (1 - distinct/total over sliding word
+    // n-grams); 0.0 below n tokens
+    "q56_repetition" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         g AS (SELECT doc_id, len(l) AS n,
+                 [l[i] || ' ' || l[i+1] for i in generate_series(1, len(l) - 1)] AS g2,
+                 [l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                  for i in generate_series(1, len(l) - 2)] AS g3
+               FROM d)
+         SELECT doc_id,
+           CASE WHEN n < 2 THEN 0.0
+                ELSE round(1e0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+           END AS dup_bigram_frac,
+           CASE WHEN n < 3 THEN 0.0
+                ELSE round(1e0 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+           END AS dup_trigram_frac
+         FROM g""",
+
+    // q57: tf-idf more-like-this — idf = ln((N+1)/(df+1)) + 1, cosine with
+    // TERM-ORDERED folds for dot and norms (bit-identical to the engine's
+    // sort_array/aggregate), top-5 per query doc, ties on doc_id
+    "q57_more_like_this" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                    FROM documents),
+         pos AS (SELECT doc_id, unnest(l) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM pos WHERE term <> '' GROUP BY doc_id, term),
+         nn AS (SELECT count(*) AS n FROM documents),
+         idf AS (SELECT term, ln((nn.n + 1e0) / (count(*) + 1e0)) + 1e0 AS idf
+                 FROM tf, nn GROUP BY term, nn.n),
+         w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+               FROM tf JOIN idf USING (term)),
+         nrm AS (SELECT doc_id,
+                        sqrt(list_reduce(list_prepend(0e0, list(w * w ORDER BY term)),
+                                         (a, b) -> a + b)) AS nrm
+                 FROM w GROUP BY doc_id),
+         dv AS (SELECT w.doc_id, w.term, w.w, nrm.nrm
+                FROM w JOIN nrm USING (doc_id)),
+         qv AS (SELECT doc_id AS query_id, term, w AS qw, nrm AS qnrm
+                FROM dv WHERE doc_id < 5),
+         dot AS (SELECT qv.query_id, dv.doc_id,
+                        list_reduce(list_prepend(0e0, list(qv.qw * dv.w ORDER BY dv.term)),
+                                    (a, b) -> a + b)
+                          / (any_value(qv.qnrm) * any_value(dv.nrm)) AS score
+                 FROM dv JOIN qv USING (term)
+                 WHERE dv.doc_id <> qv.query_id
+                 GROUP BY qv.query_id, dv.doc_id),
+         ranked AS (SELECT query_id, doc_id, score,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM dot)
+         SELECT query_id, rank::INTEGER AS rank, doc_id, round(score, 4) AS score
+         FROM ranked WHERE rank <= 5"""
   )
 }

@@ -101,6 +101,78 @@ object TextAnalysis {
   def normalizedHash(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // ------------------------------------------------- line-level corpus dedup
+  /** C4-style line-level deduplication: drop every "line" that occurs in at
+    * least `minDocs` DISTINCT documents anywhere in the corpus (the
+    * boilerplate-removal pass C4/RefinedWeb run after document-level dedup —
+    * nav bars, cookie banners and footers repeat across pages while real
+    * prose does not). The corpus here is single-line text, so a "line" is a
+    * fixed window of `lineTokens` whitespace tokens in document order — the
+    * same op, parameterized segmentation.
+    *
+    * Output: one row per input document — `clean_text` (surviving lines
+    * re-joined in order; empty when everything was boilerplate), `n_lines`,
+    * `n_lines_kept`.
+    *
+    * Scale shape: tokenize/segment are narrow codegen'd projections; the
+    * global duplicate-line set is ONE map-side-combined aggregation keyed by
+    * line text; dropping is a shuffle anti-join on the line (the duplicate
+    * set is corpus-dependent and unbounded, so it is NOT broadcast — AQE may
+    * still choose to if it measures small); reassembly groups by doc. No
+    * driver-side set, no O(n²) pair comparison, text shuffles at line (not
+    * document) granularity. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val lines = toks
+      .withColumn("line_id", (col("pos") / lineTokens).cast("int"))
+      .groupBy(col("doc_id"), col("line_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("line"))
+    val dupLines = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"))
+    val perDoc = lines.join(dupLines, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_id"), col("line")))),
+        x => x.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    // every input doc appears in the output, even all-boilerplate (empty
+    // clean_text) and zero-token (0 lines) ones
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
+  // --------------------------------------------------- repetition ratios
+  /** Duplicate-n-gram fraction of a document: 1 − distinct/total over the
+    * sliding word n-grams (the Gopher/RefinedWeb "repetition" quality
+    * signal — templated and looping text scores high, prose scores low).
+    * Pure codegen'd column expression (narrow map); 0.0 when the document
+    * has fewer than n tokens. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val cnt = size(toks)
+    val grams = transform(sequence(lit(0), cnt - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(cnt < n, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
   // ------------------------------------------------------- sequence packing
   /** Pack documents into fixed-token-budget training shards ("packs") in
     * deterministic `idCol` order — the sequence-packing step of an LLM data

@@ -280,6 +280,80 @@ class MlSpec extends AnyFunSuite {
     assert(a != TextAnalysis.rollingFingerprint("alpha beta"))
   }
 
+  test("line dedup drops cross-doc boilerplate lines, keeps order, keeps all docs") {
+    // lines are 10-token windows; "footer" is a 10-token boilerplate line
+    // planted in three docs, each doc also has a unique 10-token line
+    val footer = (1 to 10).map(i => s"footer$i").mkString(" ")
+    def uniq(d: Int) = (1 to 10).map(i => s"doc${d}tok$i").mkString(" ")
+    val rows = Seq(
+      (0L, uniq(0) + " " + footer),          // unique line first, footer second
+      (1L, footer + " " + uniq(1)),          // footer first — order must survive
+      (2L, footer),                          // all-boilerplate → empty survivor
+      (3L, uniq(3) + " short tail"),         // 12 tokens → 10-token + 2-token line
+      (4L, ""))                              // zero tokens → zero lines
+    val out = TextAnalysis.lineDedup(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "every input doc appears")
+    assert(out(0L) == ((uniq(0), 2L, 1L)))
+    assert(out(1L) == ((uniq(1), 2L, 1L)))
+    assert(out(2L) == (("", 1L, 0L)))
+    assert(out(3L) == ((uniq(3) + " short tail", 2L, 2L)), "non-duplicated lines all kept")
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
+  test("repetition ratio: hand-computed n-gram duplicate fractions") {
+    val rows = Seq(
+      (0L, "a b a b a"),    // bigrams [ab,ba,ab,ba] → 1-2/4 = 0.5; trigrams 1-2/3
+      (1L, "x y z"),        // all distinct → 0.0
+      (2L, "w"),            // below n → 0.0
+      (3L, "q q q q"))      // bigrams all "q q" → 1-1/3; trigrams 1-1/2
+    val out = rows.toDF("doc_id", "text")
+      .select($"doc_id",
+        round(TextAnalysis.repetitionRatio($"text", 2), 4).as("r2"),
+        round(TextAnalysis.repetitionRatio($"text", 3), 4).as("r3"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(0L) == ((0.5, 0.3333)))
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.6667, 0.5)))
+  }
+
+  test("more-like-this equals local brute-force tf-idf cosine, self excluded") {
+    val df = docs.toDF("doc_id", "text")
+    val got = MoreLikeThis.topK(df, "doc_id", "text", queryIds = Seq(0L, 3L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+
+    // local oracle with the SAME term-ordered fold arithmetic
+    val n = docs.size
+    val tf = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k2, v) => k2 -> v.length.toDouble }
+    }.toMap
+    val dfCount = tf.values.flatMap(_.keys).groupBy(identity).map { case (k2, v) => k2 -> v.size }
+    val idf = dfCount.map { case (t, d) => t -> (math.log((n + 1.0) / (d + 1.0)) + 1.0) }
+    val w = tf.map { case (id, m) => id -> m.map { case (t, f) => t -> f * idf(t) } }
+    val nrm = w.map { case (id, m) =>
+      id -> math.sqrt(m.toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (_, v)) => a + v * v })
+    }
+    def cos(q: Long, d2: Long): Double = {
+      val shared = (w(q).keySet & w(d2).keySet).toSeq.sorted
+      shared.foldLeft(0.0)((a, t) => a + w(q)(t) * w(d2)(t)) / (nrm(q) * nrm(d2))
+    }
+    val expected = Seq(0L, 3L).flatMap { q =>
+      docs.map(_._1).filter(_ != q).map(d2 => (q, d2, cos(q, d2)))
+        .sortBy { case (_, d2, s) => (-s, d2) }.take(4).zipWithIndex
+        .map { case ((qq, d2, s), i) => (qq, i + 1, d2, math.rint(s * 1e4) / 1e4) }
+    }
+    val gotRounded = got.map { case (q, r, d2, s) => (q, r, d2, math.rint(s * 1e4) / 1e4) }
+    assert(gotRounded.toSeq == expected,
+      s"got ${gotRounded.toSeq}\nexpected $expected")
+    assert(got.forall { case (q, _, d2, _) => q != d2 }, "self must be excluded")
+    // exact-copy docs (200..204 duplicate 0..4) must be the top hit at cos 1.0
+    assert(got.find(r => r._1 == 0L && r._2 == 1).exists(r => r._3 == 200L && r._4 > 0.9999))
+  }
+
   test("multimodal resize + frame sampling stubs keep the plumbing shape") {
     val assets = Multimodal.generateAssets(spark, 30)
     val resized = Multimodal.resizeAll(assets, 32, 32).collect()

@@ -113,6 +113,10 @@ class ServingSpec extends AnyFunSuite {
       // missing query param serves the empty query's list; junk path 404s
       assert(get("/query")._1 == 200)
       assert(get("/nope")._1 == 404)
+      // malformed %-escapes are client errors: 400, not the generic 500,
+      // in both decode positions
+      assert(get("/query?query=%zz")._1 == 400)
+      assert(get("/query/http%zz")._1 == 400)
     } finally srv.stop()
   }
 
