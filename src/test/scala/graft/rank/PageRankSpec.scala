@@ -78,6 +78,18 @@ class PageRankSpec extends AnyFunSuite {
     for ((u, e) <- a) assert(math.abs(b(u) - e) < 1e-9, s"rank($u)")
   }
 
+  test("128-bit-id iteration is rank-identical to the url-keyed path") {
+    val n = 120
+    val state0 = PageRank.init(spark, Corpus.generate(spark, n))
+    val (urlKeyed, it1) = PageRank.run(spark, state0, 0.01, 0.8)
+    val (hashed, it2) = PageRank.runHashed128(spark, state0, 0.01, 0.8)
+    assert(it1 == it2)
+    val a = urlKeyed.collect().map(r => r.url -> r.rank).toMap
+    val b = hashed.collect().map(r => r.url -> r.rank).toMap
+    assert(a.keySet == b.keySet)
+    for ((u, e) <- a) assert(math.abs(b(u) - e) < 1e-9, s"rank($u)")
+  }
+
   test("init collapses urls that normalize to the same node (no double mass)") {
     import spark.implicits._
     // explicit :80 twin of a.ex/p → same normalized node; without dedupe the
