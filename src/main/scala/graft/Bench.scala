@@ -34,11 +34,16 @@ object Bench {
     "12 station", "prince officer soldier", "distributed storage system",
     "compression encoding decoder", "running running galaxy", "history")
 
-  private def session(cpus: Int): SparkSession = {
+  /** `twoWaveShuffle`: the scaling children run shuffle stages at 2 tasks
+    * per core (same rationale as the build's `parts = cpus * 2` — one
+    * straggler must not extend the whole stage by its full overrun);
+    * section 1 keeps 1× for round-over-round plan comparability. */
+  private def session(cpus: Int, twoWaveShuffle: Boolean = false): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        (if (twoWaveShuffle) cpus * 2 else cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // tmpfs shuffle dirs: on a single box the disk is a shared resource
@@ -61,7 +66,7 @@ object Bench {
     * parent asks (first rep per level); skipped measurements report -1. */
   private def scalingRun(cpus: Int, numDocs: Long, withP95: Boolean,
                          withDirect: Boolean): (Double, Double, Double, Long, Double, Double, Seq[Double]) = {
-    val spark = session(cpus)
+    val spark = session(cpus, twoWaveShuffle = true)
     try {
       // warmup: small build first so JIT + codegen + class-load costs don't
       // masquerade as serial fraction in the measured run
