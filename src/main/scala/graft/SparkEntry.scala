@@ -963,7 +963,16 @@ object SparkEntry {
       graft.ml.MoreLikeThis.topK(t(s, d, "documents"), "doc_id", "text",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .select(col("query_id"), col("rank"), col("doc_id"),
-          round(col("score"), 4).as("score")))
+          round(col("score"), 4).as("score"))),
+
+    // ---- anchor-text aggregation (link inversion): per link TARGET, the
+    // inlink count + sorted distinct anchor terms — one shuffle keyed by
+    // target over (target, term) pairs, HTML never shuffles ----
+    "q58_anchor_text" -> ((s, _) => {
+      dumpPagesOnce(s, 500L)
+      val pages = s.read.parquet(s"${auxDir}/q36_pages").select(col("url"), col("html"))
+      graft.index.AnchorText.aggregate(pages, "url", "html")
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1685,6 +1694,28 @@ object SparkEntry {
                                               ORDER BY score DESC, doc_id ASC) AS rank
                     FROM dot)
          SELECT query_id, rank::INTEGER AS rank, doc_id, round(score, 4) AS score
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+
+    // q58: link inversion over the dumped pages — same regex extraction as
+    // the engine, fragment-stripped targets, 1000-term sorted-distinct cap
+    "q58_anchor_text" ->
+      s"""WITH p AS (SELECT url, html FROM read_parquet('${auxDir}/q36_pages/*.parquet')),
+         m AS (SELECT url,
+                 regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+                 regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
+               FROM p),
+         links AS (SELECT regexp_replace(unnest(hrefs), '#.*$$', '') AS target,
+                          unnest(texts) AS anchor
+                   FROM m),
+         n AS (SELECT target, count(*) AS n_links FROM links GROUP BY target),
+         tok0 AS (SELECT target,
+                         unnest(string_split_regex(lower(trim(anchor)), '\\s+')) AS term
+                  FROM links),
+         tok AS (SELECT DISTINCT target, term FROM tok0 WHERE term <> ''),
+         at AS (SELECT target,
+                       array_to_string(list_sort(list(term))[1:1000], ',') AS anchor_terms
+                FROM tok GROUP BY target)
+         SELECT n.target, n.n_links, coalesce(at.anchor_terms, '') AS anchor_terms
+         FROM n LEFT JOIN at USING (target)"""
   )
 }
