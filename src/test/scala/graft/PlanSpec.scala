@@ -111,4 +111,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"decode + frame explosion must not shuffle media bytes:\n$plan")
   }
+
+  test("q55 line dedup: anti-join drop, partial aggs, no cartesian") {
+    val df = SparkEntry.queries("q55_line_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"duplicate-line drop must be an anti join:\n$plan")
+    assert(plan.contains("partial"), s"line count must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q57 more-like-this: query vectors broadcast, no cartesian") {
+    val df = SparkEntry.queries("q57_more_like_this")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-side vectors must broadcast onto the postings:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs scoring:\n$plan")
+  }
+
+  test("q58 link inversion: map-side combined aggs, html never joined") {
+    val df = SparkEntry.queries("q58_anchor_text")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"inversion aggs must map-side combine:\n$plan")
+    // the counts/terms join runs on aggregated rows keyed by target, and
+    // column pruning reaches the scan (url never read, html only)
+    assert(plan.linesIterator.exists(l => l.contains("Join [target") || l.contains("Join target")),
+      s"join must key on the aggregated target column:\n$plan")
+    assert(plan.contains("ReadSchema: struct<html:string>"),
+      s"scan must prune to the html column alone:\n$plan")
+  }
 }
