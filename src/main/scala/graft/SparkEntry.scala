@@ -1697,24 +1697,27 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5""",
 
     // q58: link inversion over the dumped pages — same regex extraction as
-    // the engine, fragment-stripped targets, 1000-term sorted-distinct cap
+    // the engine, split-at-'#' fragment strip (cross-engine-safe), exact
+    // self-links excluded, 1000-term windowed sorted-distinct cap
     "q58_anchor_text" ->
       s"""WITH p AS (SELECT url, html FROM read_parquet('${auxDir}/q36_pages/*.parquet')),
          m AS (SELECT url,
                  regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
                  regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
                FROM p),
-         links AS (SELECT regexp_replace(unnest(hrefs), '#.*$$', '') AS target,
-                          unnest(texts) AS anchor
-                   FROM m),
+         links0 AS (SELECT url AS src, split_part(unnest(hrefs), '#', 1) AS target,
+                           unnest(texts) AS anchor
+                    FROM m),
+         links AS (SELECT * FROM links0 WHERE target <> src),
          n AS (SELECT target, count(*) AS n_links FROM links GROUP BY target),
          tok0 AS (SELECT target,
                          unnest(string_split_regex(lower(trim(anchor)), '\\s+')) AS term
                   FROM links),
          tok AS (SELECT DISTINCT target, term FROM tok0 WHERE term <> ''),
-         at AS (SELECT target,
-                       array_to_string(list_sort(list(term))[1:1000], ',') AS anchor_terms
-                FROM tok GROUP BY target)
+         capped AS (SELECT target, term FROM tok
+                    QUALIFY row_number() OVER (PARTITION BY target ORDER BY term) <= 1000),
+         at AS (SELECT target, string_agg(term, ',' ORDER BY term) AS anchor_terms
+                FROM capped GROUP BY target)
          SELECT n.target, n.n_links, coalesce(at.anchor_terms, '') AS anchor_terms
          FROM n LEFT JOIN at USING (target)"""
   )

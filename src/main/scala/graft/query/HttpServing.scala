@@ -82,21 +82,26 @@ object HttpServing {
         else if (path == "/")
           respond(ex, 200, "<html>" + "<h2>HELLO</h2>" + "</html>", "text/html")
         else if (path == "/query") {
-          // a malformed %-escape is a CLIENT error — 400, not the generic 500
-          try {
-            val q = queryParam(ex.getRequestURI.getRawQuery).getOrElse("")
-            val body = Serving.searchJson(query => searcher.referenceTopK(query, pr), q)
-            respond(ex, 200, body, "application/json")
-          } catch {
-            case _: IllegalArgumentException => respond(ex, 400, "", "text/plain")
+          // a malformed %-escape is a CLIENT error — 400, not the generic
+          // 500; the try wraps ONLY the decode, so a server-side IAE from
+          // the serve path still surfaces as the logged 500 below
+          val q =
+            try Right(queryParam(ex.getRequestURI.getRawQuery).getOrElse(""))
+            catch { case _: IllegalArgumentException => Left(()) }
+          q match {
+            case Right(query0) =>
+              val body = Serving.searchJson(query => searcher.referenceTopK(query, pr), query0)
+              respond(ex, 200, body, "application/json")
+            case Left(_) => respond(ex, 400, "", "text/plain")
           }
         } else if (path.startsWith("/query/")) {
           // the :url path parameter, URL-decoded like Backend.java:148
-          try {
-            val url = java.net.URLDecoder.decode(path.stripPrefix("/query/"), "UTF-8")
-            respond(ex, 200, pages.detailJson(url), "application/json")
-          } catch {
-            case _: IllegalArgumentException => respond(ex, 400, "", "text/plain")
+          val u =
+            try Right(java.net.URLDecoder.decode(path.stripPrefix("/query/"), "UTF-8"))
+            catch { case _: IllegalArgumentException => Left(()) }
+          u match {
+            case Right(url) => respond(ex, 200, pages.detailJson(url), "application/json")
+            case Left(_)    => respond(ex, 400, "", "text/plain")
           }
         } else respond(ex, 404, "", "text/plain")
       } catch {

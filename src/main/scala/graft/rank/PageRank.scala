@@ -200,8 +200,11 @@ object PageRank {
     // adopt the caller's cache if they set one up (see run())
     val adoptSrc = state0.storageLevel == StorageLevel.NONE
     val src = if (adoptSrc) state0.persist(StorageLevel.MEMORY_AND_DISK) else state0
+    // materialized (count) while src is still cached, so the final id→url
+    // join never re-runs the upstream init pipeline cold
     val ids = src.map(s => (fnv1a64(s.url), s.url)).toDF("id", "url")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ids.count()
     // collision check covers NODES AND LINK TARGETS: a dangling target that
     // collides with a node would silently inject mass every iteration (the
     // string-keyed run() drops it via the inner join), so the loud-failure
@@ -218,9 +221,15 @@ object PageRank {
       s => contribsOf(s.id, s.rank, s.links.toIndexedSeq),
       threshold, percent, maxIter, checkpointEvery, checkpointDir)
     if (adoptSrc) src.unpersist()
+    // eager localCheckpoint materializes the joined output so the ids cache
+    // can be released HERE instead of leaking for the session lifetime (the
+    // loop is already action-per-round eager — this adds one job over two
+    // cached inputs; same discipline as TextAnalysis.packSequences)
     val out = state.toDF("id", "rank", "prev", "links")
       .join(ids, Seq("id"))
       .select($"url", $"rank").as[PageRankResult]
+      .localCheckpoint()
+    ids.unpersist()
     (out, cnt)
   }
 
@@ -243,6 +252,7 @@ object PageRank {
     val src = if (adoptSrc) state0.persist(StorageLevel.MEMORY_AND_DISK) else state0
     val ids = src.map(s => (fnv1a128(s.url), s.url)).toDF("id", "url")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ids.count() // materialize while src is cached (see runHashed)
     val allUrls = src.flatMap(s => Iterator.single(s.url) ++ s.links.iterator).distinct()
     val nUrls = allUrls.count()
     val nIds = allUrls.map(fnv1a128).distinct().count()
@@ -258,6 +268,8 @@ object PageRank {
     val out = state.toDF("id", "rank", "prev", "links")
       .join(ids, Seq("id"))
       .select($"url", $"rank").as[PageRankResult]
+      .localCheckpoint() // eager: lets the ids cache release (see runHashed)
+    ids.unpersist()
     (out, cnt)
   }
 }

@@ -139,7 +139,9 @@ class PlanSpec extends AnyFunSuite {
     // column pruning reaches the scan (url never read, html only)
     assert(plan.linesIterator.exists(l => l.contains("Join [target") || l.contains("Join target")),
       s"join must key on the aggregated target column:\n$plan")
-    assert(plan.contains("ReadSchema: struct<html:string>"),
-      s"scan must prune to the html column alone:\n$plan")
+    // url rides along for the self-link filter; the row key must be pruned
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("html") && read.contains("url") && !read.contains("key"),
+      s"scan must prune to (url, html):\n$plan")
   }
 }
