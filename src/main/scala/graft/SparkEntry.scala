@@ -972,6 +972,21 @@ object SparkEntry {
       dumpPagesOnce(s, 500L)
       val pages = s.read.parquet(s"${auxDir}/q36_pages").select(col("url"), col("html"))
       graft.index.AnchorText.aggregate(pages, "url", "html")
+    }),
+
+    // ---- CONJUNCTIVE (AND-semantics) batch BM25: only docs containing
+    // EVERY parsed query term are candidates, scored with the exhaustive
+    // BM25 algebra over those terms; the AND filter is a per-(query,doc)
+    // matched-term-count equality after the pinned-order fold ----
+    "q59_conjunctive_bm25" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val raw = graft.query.QueryOps.conjunctiveBm25TopK(s, builtFor(s, n), batchQueries, 10)
+      s.createDataset(raw.collect().toIndexedSeq.map(r =>
+        (r.getInt(0), r.getInt(1), r.getString(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)))
+        .toDF("query_id", "rank", "url", "score")
     })
   )
 
@@ -1066,6 +1081,45 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, url ASC) AS rank,
                 url, round_even(score * 1e6, 0) / 1e6 AS score
          FROM scored)
+       SELECT query_id, rank, url, score FROM ranked WHERE rank <= $k"""
+  }
+
+  /** DuckDB SQL for the CONJUNCTIVE batch BM25: surface terms only (the
+    * engine's AND-mode term rule, generated from the same parse), identical
+    * per-posting algebra and ordered fold, plus a matched-term-count
+    * equality against the query's required count. A required term absent
+    * from the corpus means no doc reaches the count — the same no-rows
+    * outcome the engine's up-front dictionary check produces. */
+  private def conjunctiveBm25Sql(k: Int, triplesName: String): String = {
+    val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+      graft.text.Text.parseQuery(q).distinct.sorted.map(t => s"($qi, '$t')")
+    }.mkString(", ")
+    s"""WITH t(qid, term) AS (VALUES $vals),
+       req AS (SELECT qid, count(*) AS n_req FROM t GROUP BY qid),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
+       docs AS (SELECT url, sum(tf) AS dl FROM tr GROUP BY url),
+       stats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*) AS nd FROM docs),
+       dict AS (SELECT term, count(*) AS df FROM tr GROUP BY term),
+       contrib AS (
+         SELECT t.qid, tr.url, tr.term,
+                ln((s.nd - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+                  * (tr.tf * (1.2e0 + 1)) / (tr.tf + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dc.dl / s.avgdl)) AS c
+         FROM tr
+         JOIN dict d USING (term)
+         JOIN docs dc USING (url)
+         JOIN t ON t.term = tr.term
+         CROSS JOIN stats s),
+       scored AS (
+         SELECT qid, url, list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score,
+                count(*) AS nt
+         FROM contrib GROUP BY qid, url),
+       conj AS (SELECT s.qid, s.url, s.score
+                FROM scored s JOIN req USING (qid) WHERE s.nt = req.n_req),
+       ranked AS (
+         SELECT qid AS query_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, url ASC) AS rank,
+                url, round_even(score * 1e6, 0) / 1e6 AS score
+         FROM conj)
        SELECT query_id, rank, url, score FROM ranked WHERE rank <= $k"""
   }
 
@@ -1550,6 +1604,7 @@ object SparkEntry {
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q52_batch_bm25" -> batchBm25Sql(10, triplesName(1000)),
+    "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

@@ -318,22 +318,49 @@ object QueryOps {
     * driver tier). Queries with no live term emit no rows. */
   def batchBm25TopK(spark: SparkSession, built: BuiltIndex,
                     queries: Seq[String], k: Int = 10,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    batchBm25Core(spark, built, queries, k, k1, b, requireAll = false)
+
+  /** Conjunctive (AND-semantics) batch BM25: only documents containing
+    * EVERY parsed surface term of the query are candidates, scored with the
+    * same exhaustive BM25 algebra over exactly those terms (no stem
+    * expansion — AND mode is the precision mode, stems would dilute the
+    * conjunction). A query with any term absent from the dictionary can
+    * match nothing and emits no rows — the same outcome the per-doc
+    * term-count filter produces, enforced up front so its posting blocks
+    * are never decoded. Same plan shape as [[batchBm25TopK]] plus one
+    * broadcast (query, required-count) join; the AND filter is a
+    * per-(query, doc) count equality, applied AFTER the fold so score
+    * arithmetic stays identical to the disjunctive twin's. */
+  def conjunctiveBm25TopK(spark: SparkSession, built: BuiltIndex,
+                          queries: Seq[String], k: Int = 10,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    batchBm25Core(spark, built, queries, k, k1, b, requireAll = true)
+
+  private def batchBm25Core(spark: SparkSession, built: BuiltIndex,
+                            queries: Seq[String], k: Int,
+                            k1: Double, b: Double, requireAll: Boolean): DataFrame = {
     import spark.implicits._
     def emptyResult: DataFrame = spark.emptyDataFrame
       .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
       .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
 
-    // driver-side expansion — [[Searcher.bm25TopK]]'s exact term rule:
-    // surface ∪ stems, sorted, dictionary-present
-    val allTerms = queries.flatMap(Searcher.expansionTerms).distinct
+    // driver-side term rule: disjunctive = [[Searcher.bm25TopK]]'s surface
+    // ∪ stems; conjunctive = parsed surface terms only
+    val termsOf: String => Seq[String] =
+      if (requireAll) q => graft.text.Text.parseQuery(q).distinct.sorted
+      else q => Searcher.expansionTerms(q).toSet.toSeq.sorted
+    val allTerms = queries.flatMap(termsOf).distinct
     if (allTerms.isEmpty) return emptyResult
     val dict = built.dictionary
       .filter($"term".isin(allTerms: _*))
       .collect().map(d => d.term -> d).toMap
     val live = queries.zipWithIndex.flatMap { case (q, qi) =>
-      Searcher.expansionTerms(q).toSet.toSeq.sorted.filter(dict.contains)
-        .map(t => (qi, t))
+      val ts = termsOf(q)
+      val present = ts.filter(dict.contains)
+      // conjunctive: a dictionary-missing required term kills the query
+      if (requireAll && present.size != ts.size) Seq.empty
+      else present.map(t => (qi, t))
     }
     if (live.isEmpty) return emptyResult
     val liveTerms = live.map(_._2).distinct
@@ -370,10 +397,19 @@ object QueryOps {
           ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * $"dl" / lit(avgdl))))
           .as("c"))
 
-    val scored = contrib
+    val scoredAll = contrib
       .groupBy($"query_id", $"doc_id", $"url")
       .agg(aggregate(sort_array(collect_list(struct($"term", $"c"))),
-        lit(0.0d), (acc, x) => acc + x.getField("c")).as("score"))
+        lit(0.0d), (acc, x) => acc + x.getField("c")).as("score"),
+        count(lit(1)).as("nt"))
+    val scored =
+      if (requireAll) {
+        // AND filter: keep (query, doc) pairs whose matched-term count hits
+        // the query's required count (terms are unique per pair)
+        val nReq = broadcast(live.groupBy(_._1).view.mapValues(_.size)
+          .toSeq.toDF("query_id", "n_req"))
+        scoredAll.join(nReq, Seq("query_id")).filter($"nt" === $"n_req")
+      } else scoredAll
 
     val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"url".asc)
     scored.withColumn("rank", row_number().over(wRank))

@@ -340,6 +340,46 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("conjunctive batch BM25 = brute-force AND filter with identical scores") {
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val dict = built.dictionary.collect().map(d => d.term -> d).toMap
+    val docRows = built.docs.collect()
+    val urlOf = docRows.map(d => d.doc_id -> d.url).toMap
+    val dlOf = docRows.map(d => d.doc_id -> d.dl).toMap
+    val avgdl = docRows.map(_.dl.toDouble).sum / docRows.length
+    val blocks = built.blocks.collect().groupBy(_.term)
+    val got = graft.query.QueryOps.conjunctiveBm25TopK(spark, built, queries, k = 10)
+      .collect().groupBy(_.getInt(0))
+    for ((q, qi) <- queries.zipWithIndex) {
+      val terms = graft.text.Text.parseQuery(q).distinct.sorted
+      val expected =
+        if (!terms.forall(dict.contains) || terms.isEmpty) List.empty
+        else {
+          // per-doc contributions in term-asc fold order, docs must hit all
+          val perDoc = scala.collection.mutable.HashMap.empty[Long, (Double, Int)]
+          for (t <- terms; b <- blocks(t); (id, tf) <- IndexBuild.decodeBlock(b)) {
+            val d = dict(t)
+            val idf = math.log((numDocs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+            val c = idf * (tf * (1.2 + 1)) /
+              (tf + 1.2 * (1 - 0.75 + 0.75 * dlOf(id) / avgdl))
+            val (s0, n0) = perDoc.getOrElse(id, (0.0, 0))
+            perDoc(id) = (s0 + c, n0 + 1)
+          }
+          perDoc.iterator.collect { case (id, (sc, n)) if n == terms.size => (urlOf(id), sc) }
+            .toList.sortBy { case (u, sc) => (-sc, u) }.take(10)
+            .map { case (u, sc) => (u, r6(sc)) }
+        }
+      val gotQ = got.getOrElse(qi, Array.empty).sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r6(r.getDouble(3)))).toList
+      assert(gotQ == expected, s"conjunctive '$q'")
+    }
+    // sanity: AND semantics actually bind — some multi-term query must
+    // return fewer docs than its disjunctive twin
+    val disTotal = graft.query.QueryOps.batchBm25TopK(spark, built, queries, k = 10).count()
+    val conTotal = got.values.map(_.length).sum
+    assert(conTotal < disTotal, s"conjunction never bound: $conTotal vs $disTotal")
+  }
+
   test("bm25 block-max path agrees with exhaustive scoring") {
     val s = Searcher.fromIndex(built, numDocs)
     // exhaustive: same formula, no pruning, via oracle-side recompute
