@@ -987,6 +987,18 @@ object SparkEntry {
         (r.getInt(0), r.getInt(1), r.getString(2),
           math.rint(r.getDouble(3) * 1e6) / 1e6)))
         .toDF("query_id", "rank", "url", "score")
+    }),
+
+    // ---- "did you mean" spell correction against the index dictionary:
+    // absent query terms get the closest dictionary term (levenshtein <= 2,
+    // ties by df desc then term asc) via ONE broadcast-probed dictionary
+    // scan; present and hopeless terms emit no row ----
+    "q60_spell_correct" -> ((s, _) => {
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      graft.query.SpellCorrect.didYouMean(builtFor(s, n).dictionary,
+        Seq("galxy", "enginee", "stattion", "distrubuted", "qery", "oficer",
+          "history", "zzzzzzzz"))
     })
   )
 
@@ -1605,6 +1617,23 @@ object SparkEntry {
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q52_batch_bm25" -> batchBm25Sql(10, triplesName(1000)),
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
+
+    // q60: same probes, same dictionary (triples df ≡ dictionary df), same
+    // ranking rule; DuckDB levenshtein == Spark levenshtein (classic DP)
+    "q60_spell_correct" ->
+      s"""WITH t(qt) AS (VALUES ('galxy'), ('enginee'), ('stattion'),
+                ('distrubuted'), ('qery'), ('oficer'), ('history'), ('zzzzzzzz')),
+         tr AS (SELECT * FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')),
+         dict AS (SELECT term, count(*)::BIGINT AS df FROM tr GROUP BY term),
+         missing AS (SELECT qt FROM t WHERE qt NOT IN (SELECT term FROM dict)),
+         cand AS (SELECT m.qt, d.term, levenshtein(m.qt, d.term) AS dist, d.df
+                  FROM missing m JOIN dict d ON levenshtein(m.qt, d.term) <= 2),
+         ranked AS (SELECT qt, term, dist, df,
+                    row_number() OVER (PARTITION BY qt
+                                       ORDER BY dist, df DESC, term) AS rn
+                    FROM cand)
+         SELECT qt AS query_term, term AS suggestion, dist::INTEGER AS dist, df
+         FROM ranked WHERE rn = 1""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),
