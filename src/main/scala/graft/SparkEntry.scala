@@ -999,7 +999,14 @@ object SparkEntry {
       graft.query.SpellCorrect.didYouMean(builtFor(s, n).dictionary,
         Seq("galxy", "enginee", "stattion", "distrubuted", "qery", "oficer",
           "history", "zzzzzzzz"))
-    })
+    }),
+
+    // ---- result-page snippets: per doc, the best 15-token window (max
+    // query-term hits, earliest on ties) — entirely narrow: explode over
+    // window starts + a map-side-combined min over a packed struct ----
+    "q61_snippets" -> ((s, d) =>
+      graft.query.Snippets.bestWindow(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "query", "table"), 15))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1633,6 +1640,29 @@ object SparkEntry {
                                        ORDER BY dist, df DESC, term) AS rn
                     FROM cand)
          SELECT qt AS query_term, term AS suggestion, dist::INTEGER AS dist, df
+         FROM ranked WHERE rn = 1""",
+
+    // q61: same windows (0-based starts, 1-based inclusive list slices),
+    // same hit rule, argmax by (hits desc, start asc)
+    "q61_snippets" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         nz AS (SELECT * FROM d WHERE len(l) > 0),
+         starts AS (SELECT doc_id, l,
+                    unnest(generate_series(0, greatest(len(l) - 15, 0))) AS start
+                    FROM nz),
+         w AS (SELECT doc_id, start, l[start + 1 : start + 15] AS win FROM starts),
+         sc AS (SELECT doc_id, start,
+                  len(list_filter(win,
+                      t -> list_contains(['spark', 'query', 'table'], lower(t)))) AS hits,
+                  array_to_string(win, ' ') AS snippet
+                FROM w),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY hits DESC, start ASC) AS rn
+                    FROM sc)
+         SELECT doc_id, hits::INTEGER AS hits, start::INTEGER AS start, snippet
          FROM ranked WHERE rn = 1""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
