@@ -1006,7 +1006,17 @@ object SparkEntry {
     // window starts + a map-side-combined min over a packed struct ----
     "q61_snippets" -> ((s, d) =>
       graft.query.Snippets.bestWindow(t(s, d, "documents"), "doc_id", "text",
-        Seq("spark", "query", "table"), 15))
+        Seq("spark", "query", "table"), 15)),
+
+    // ---- benchmark DECONTAMINATION (GPT-3/PaLM 13-gram overlap rule): flag
+    // corpus docs sharing any 13-token run with the benchmark set (here:
+    // docs 0-9 stand in for the eval suite — deterministic, in-corpus, and
+    // guaranteed non-trivial since those docs flag themselves) ----
+    "q62_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ml.Decontaminate.flag(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "text", n = 13)
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1664,6 +1674,25 @@ object SparkEntry {
                     FROM sc)
          SELECT doc_id, hits::INTEGER AS hits, start::INTEGER AS start, snippet
          FROM ranked WHERE rn = 1""",
+
+    // q62: same lowercased whitespace 13-grams both sides (DuckDB list
+    // slices are 1-based inclusive: l[i:i+12] = 13 tokens); benchmark =
+    // docs 0-9's gram set, distinct-matched-gram count per corpus doc
+    "q62_decontaminate" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(generate_series(1, len(l) - 12)) AS i, l
+               FROM d WHERE len(l) >= 13),
+         grams AS (SELECT doc_id, array_to_string(l[i : i + 12], ' ') AS gram FROM g),
+         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+         hits AS (SELECT c.doc_id, count(DISTINCT c.gram) AS n_hit
+                  FROM grams c JOIN bench b USING (gram) GROUP BY c.doc_id)
+         SELECT d0.doc_id,
+                coalesce(h.n_hit, 0)::BIGINT AS n_hit_grams,
+                (h.n_hit IS NOT NULL)::INTEGER AS contaminated
+         FROM documents d0 LEFT JOIN hits h USING (doc_id)""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

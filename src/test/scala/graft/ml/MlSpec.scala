@@ -302,6 +302,26 @@ class MlSpec extends AnyFunSuite {
     assert(out(4L) == (("", 0L, 0L)))
   }
 
+  test("decontamination flags 13-gram overlap, not 12-gram, case-insensitive") {
+    val bench13 = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"intro words $bench13 trailing text"),      // exact 13-run → hit
+      (1L, "Intro " + bench13.toUpperCase + " Tail"),   // case-folded → hit
+      (2L, (1 to 12).map(i => s"ev$i").mkString(" ")),  // only 12 of 13 → clean
+      (3L, "completely unrelated prose with many words"),
+      (4L, s"$bench13 middle $bench13"))                // same gram twice → 1 distinct
+    val bench = Seq((0L, s"prefix $bench13 suffix")).toDF("bid", "btext")
+    val out = Decontaminate.flag(rows.toDF("doc_id", "text"), "doc_id", "text",
+        bench, "btext", n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "every corpus doc appears")
+    assert(out(0L)._2 == 1 && out(0L)._1 >= 1L)
+    assert(out(1L)._2 == 1)
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L) == ((0L, 0)))
+    assert(out(4L)._1 == 1L, "duplicate matched gram counts once")
+  }
+
   test("repetition ratio: hand-computed n-gram duplicate fractions") {
     val rows = Seq(
       (0L, "a b a b a"),    // bigrams [ab,ba,ab,ba] → 1-2/4 = 0.5; trigrams 1-2/3
