@@ -1016,6 +1016,18 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       graft.ml.Decontaminate.flag(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 10), "text", n = 13)
+    }),
+
+    // ---- PII redaction (pre-training scrub): mask emails then IPv4s with
+    // per-doc counts; deterministic synthetic PII is appended so the pass
+    // is non-trivial on every row (the corpus text itself is PII-free) ----
+    "q63_pii_redact" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"), lit(" port 8080"))
+          .as("text"))
+      graft.ml.TextAnalysis.redactPii(aug, "doc_id", "text")
     })
   )
 
@@ -1693,6 +1705,30 @@ object SparkEntry {
                 coalesce(h.n_hit, 0)::BIGINT AS n_hit_grams,
                 (h.n_hit IS NOT NULL)::INTEGER AS contaminated
          FROM documents d0 LEFT JOIN hits h USING (doc_id)""",
+
+    // q63: same augmentation, same regexes (Java/RE2-agreeing subset), same
+    // order: count emails on raw, mask, count IPs on masked, mask
+    "q63_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+                text || ' contact user' || doc_id || '@mail.example.org from 10.'
+                     || (doc_id % 200) || '.0.' || (doc_id % 250)
+                     || ' port 8080' AS text
+              FROM documents),
+         e AS (SELECT doc_id,
+                len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INTEGER
+                  AS n_emails,
+                regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g') AS t1
+               FROM aug)
+         SELECT doc_id,
+                regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                    '<IP>', 'g') AS clean_text,
+                n_emails,
+                len(regexp_extract_all(t1,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INTEGER AS n_ips
+         FROM e""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

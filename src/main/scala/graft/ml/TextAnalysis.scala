@@ -173,6 +173,29 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
   }
 
+  // ---------------------------------------------------------- PII redaction
+  /** Email / IPv4 patterns kept to the regex subset where Java's engine and
+    * RE2-style engines (the DuckDB oracle) agree exactly: no backtracking
+    * constructs, ASCII classes, possessive-free quantifiers. MIRRORED
+    * verbatim in the q63 oracle SQL. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction pass (the pre-training scrub): mask emails then IPv4
+    * addresses, reporting per-document counts. IPs are counted AFTER email
+    * masking so an address-like mail host is never double-counted. Pure
+    * narrow codegen'd projection — no shuffle, no UDF; at 100 TB this runs
+    * at scan speed and the only cost is the regex automaton per row. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val nEmails = size(regexp_extract_all(t0, lit(emailRe), lit(0)))
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val nIps = size(regexp_extract_all(t1, lit(ipv4Re), lit(0)))
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    df.select(col(idCol).cast("long").as("doc_id"),
+      t2.as("clean_text"), nEmails.as("n_emails"), nIps.as("n_ips"))
+  }
+
   // ------------------------------------------------------- sequence packing
   /** Pack documents into fixed-token-budget training shards ("packs") in
     * deterministic `idCol` order — the sequence-packing step of an LLM data

@@ -322,6 +322,21 @@ class MlSpec extends AnyFunSuite {
     assert(out(4L)._1 == 1L, "duplicate matched gram counts once")
   }
 
+  test("PII redaction masks emails then IPs with exact counts") {
+    val rows = Seq(
+      (0L, "mail a.b+c@x-y.co and peer 192.168.0.1 end"),
+      (1L, "no pii here at all"),
+      (2L, "two mails p@q.io r@s.de one ip 10.0.0.255"),
+      (3L, "not an ip 1234.5.6.7 but 1.2.3.4 is"))  // \b rejects 4-digit octet prefix
+    val out = TextAnalysis.redactPii(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(0L) == (("mail <EMAIL> and peer <IP> end", 1, 1)))
+    assert(out(1L) == (("no pii here at all", 0, 0)))
+    assert(out(2L) == (("two mails <EMAIL> <EMAIL> one ip <IP>", 2, 1)))
+    assert(out(3L)._3 == 1, "word boundary guards the octet shape")
+  }
+
   test("repetition ratio: hand-computed n-gram duplicate fractions") {
     val rows = Seq(
       (0L, "a b a b a"),    // bigrams [ab,ba,ab,ba] → 1-2/4 = 0.5; trigrams 1-2/3
