@@ -1028,6 +1028,15 @@ object SparkEntry {
           lit(".0."), (col("doc_id") % 250).cast("string"), lit(" port 8080"))
           .as("text"))
       graft.ml.TextAnalysis.redactPii(aug, "doc_id", "text")
+    }),
+
+    // ---- deterministic mixture resampling (data mixing): downsample each
+    // source to weight (k+1)/210 of a 300-doc budget via the portable-hash
+    // coin — stable across partitionings, no window, no global sort ----
+    "q64_mixture_sample" -> ((s, d) => {
+      val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
+      graft.ml.Mixture.resample(t(s, d, "documents"), "doc_id", "source",
+        weights, total = 300L)
     })
   )
 
@@ -1729,6 +1738,22 @@ object SparkEntry {
                 len(regexp_extract_all(t1,
                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INTEGER AS n_ips
          FROM e""",
+
+    // q64: same weights ((k+1)/210e0), same IEEE evaluation order
+    // (w * 300 / cnt), same 60-bit md5-prefix coin mod 1e6
+    "q64_mixture_sample" ->
+      """WITH cnt AS (SELECT source, count(*)::BIGINT AS cnt
+                      FROM documents GROUP BY source),
+         rates AS (SELECT source,
+                  least(1e0, (substr(source, 4)::BIGINT + 1) / 210e0
+                             * 300e0 / cnt) AS rate
+                   FROM cnt),
+         h AS (SELECT d.doc_id, d.source,
+                ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 AS hm,
+                floor(r.rate * 1000000e0)::BIGINT AS thr
+               FROM documents d JOIN rates r USING (source))
+         SELECT doc_id, source FROM h WHERE hm < thr""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

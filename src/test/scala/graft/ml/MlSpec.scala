@@ -337,6 +337,24 @@ class MlSpec extends AnyFunSuite {
     assert(out(3L)._3 == 1, "word boundary guards the octet shape")
   }
 
+  test("mixture resample = local replay of the portable coin, partition-stable") {
+    val rows = (0L until 30L).map(i => (i, s"s${i % 3}"))  // 10 docs per stratum
+    val weights = Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.05)
+    def expected(total: Long): Set[Long] = rows.collect { case (id, st)
+      if weights(st) >= 0.0 && {
+        val rate = math.min(1.0, weights(st) * total / 10)
+        PortableHash.h60(id.toString) % 1000000L < math.floor(rate * 1000000.0).toLong
+      } => id }.toSet
+    for (parts <- Seq(1, 7)) {
+      val out = Mixture.resample(rows.toDF("doc_id", "source").repartition(parts),
+          "doc_id", "source", weights, total = 10L)
+        .collect().map(_.getLong(0)).toSet
+      assert(out == expected(10L), s"parts=$parts")
+      assert(rows.filter(_._2 == "s0").map(_._1).toSet.subsetOf(out), "rate 1.0 keeps all")
+      assert(!rows.filter(_._2 == "s1").map(_._1).exists(out), "rate 0.0 keeps none")
+    }
+  }
+
   test("repetition ratio: hand-computed n-gram duplicate fractions") {
     val rows = Seq(
       (0L, "a b a b a"),    // bigrams [ab,ba,ab,ba] → 1-2/4 = 0.5; trigrams 1-2/3
