@@ -1037,7 +1037,13 @@ object SparkEntry {
       val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
       graft.ml.Mixture.resample(t(s, d, "documents"), "doc_id", "source",
         weights, total = 300L)
-    })
+    }),
+
+    // ---- bigram-LM perplexity scoring (CCNet-style quality filter):
+    // add-one-smoothed corpus bigram model, per-doc avg negative
+    // log-likelihood with a position-ordered FP fold ----
+    "q65_lm_perplexity" -> ((s, d) =>
+      graft.ml.LmScore.bigramNll(t(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1754,6 +1760,35 @@ object SparkEntry {
                 floor(r.rate * 1000000e0)::BIGINT AS thr
                FROM documents d JOIN rates r USING (source))
          SELECT doc_id, source FROM h WHERE hm < thr""",
+
+    // q65: same tokens, same add-one bigram model ((c12+1)/(c1+V), natural
+    // log), same position-ordered fold (list_reduce ≡ aggregate(sort))
+    "q65_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         tok AS (SELECT doc_id, unnest(l) AS w FROM d),
+         uni AS (SELECT w AS w1, count(*)::BIGINT AS c1 FROM tok GROUP BY w),
+         v AS (SELECT count(*)::BIGINT AS v FROM uni),
+         p AS (SELECT doc_id, unnest(generate_series(1, len(l) - 1)) AS pos, l
+               FROM d WHERE len(l) >= 2),
+         bg AS (SELECT doc_id, pos, l[pos] AS w1, l[pos + 1] AS w2 FROM p),
+         bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+         scored AS (SELECT g.doc_id, g.pos,
+                           ln((bc.c12 + 1e0) / (u.c1 + v.v)) AS logp
+                    FROM bg g
+                    JOIN bc USING (w1, w2)
+                    JOIN uni u USING (w1)
+                    CROSS JOIN v),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                        list_reduce(list_prepend(0e0, list(logp ORDER BY pos)),
+                                    (a, b) -> a + b) AS s
+                 FROM scored GROUP BY doc_id)
+         SELECT d0.doc_id,
+                coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+                coalesce(round(-a.s / a.n_bigrams, 4), 0e0) AS nll
+         FROM documents d0 LEFT JOIN agg a USING (doc_id)""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

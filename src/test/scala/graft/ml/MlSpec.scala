@@ -355,6 +355,32 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM nll equals a local replay of the smoothed model") {
+    val rows = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "The cat sat"),          // case-folds into the same model
+      (2L, "one"),                  // < 2 tokens → 0 bigrams, nll 0.0
+      (3L, "the the the the"))
+    val docs = rows.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    val v = uni.size.toLong
+    val bc = docs.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+    def local(l: Seq[String]): (Long, Double) = {
+      val ps = l.sliding(2).filter(_.size == 2).toSeq
+        .map(p => math.log((bc((p(0), p(1))) + 1.0) / (uni(p(0)) + v)))
+      if (ps.isEmpty) (0L, 0.0)
+      else (ps.size.toLong, BigDecimal(-ps.foldLeft(0.0)(_ + _) / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val out = LmScore.bigramNll(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((id, toks) <- docs) assert(out(id) == local(toks), s"doc $id")
+    assert(out(3L)._2 < out(0L)._2,
+      "repeated bigram is the most probable → lowest nll")
+  }
+
   test("repetition ratio: hand-computed n-gram duplicate fractions") {
     val rows = Seq(
       (0L, "a b a b a"),    // bigrams [ab,ba,ab,ba] → 1-2/4 = 0.5; trigrams 1-2/3
