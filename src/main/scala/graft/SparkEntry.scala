@@ -1043,7 +1043,17 @@ object SparkEntry {
     // add-one-smoothed corpus bigram model, per-doc avg negative
     // log-likelihood with a position-ordered FP fold ----
     "q65_lm_perplexity" -> ((s, d) =>
-      graft.ml.LmScore.bigramNll(t(s, d, "documents"), "doc_id", "text"))
+      graft.ml.LmScore.bigramNll(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- search-box autocomplete: top-5 dictionary completions per typed
+    // prefix by (df desc, term asc), one broadcast-probed dictionary scan;
+    // a prefix with no completion (zz) emits no row ----
+    "q66_autocomplete" -> ((s, _) => {
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      graft.query.Autocomplete.complete(builtFor(s, n).dictionary,
+        Seq("sta", "eng", "dis", "qu", "zz"), k = 5)
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1789,6 +1799,21 @@ object SparkEntry {
                 coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
                 coalesce(round(-a.s / a.n_bigrams, 4), 0e0) AS nll
          FROM documents d0 LEFT JOIN agg a USING (doc_id)""",
+
+    // q66: same dictionary (triples df), same prefix probes, same
+    // (df desc, term asc) top-5 rule
+    "q66_autocomplete" ->
+      s"""WITH p(prefix) AS (VALUES ('sta'), ('eng'), ('dis'), ('qu'), ('zz')),
+         tr AS (SELECT * FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')),
+         dict AS (SELECT term, count(*)::BIGINT AS df FROM tr GROUP BY term),
+         cand AS (SELECT p.prefix, d.term, d.df
+                  FROM dict d JOIN p ON starts_with(d.term, p.prefix)),
+         ranked AS (SELECT prefix, term, df,
+                    row_number() OVER (PARTITION BY prefix
+                                       ORDER BY df DESC, term) AS rank
+                    FROM cand)
+         SELECT prefix, rank::INTEGER AS rank, term AS completion, df
+         FROM ranked WHERE rank <= 5""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),
