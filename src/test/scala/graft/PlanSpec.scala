@@ -144,4 +144,41 @@ class PlanSpec extends AnyFunSuite {
     assert(read.contains("html") && read.contains("url") && !read.contains("key"),
       s"scan must prune to (url, html):\n$plan")
   }
+
+  test("q62 decontamination: benchmark grams broadcast, corpus text never shuffles wide") {
+    val df = SparkEntry.queries("q62_decontaminate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast onto the corpus grams:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+    assert(plan.contains("partial"),
+      s"per-doc hit count must map-side combine:\n$plan")
+  }
+
+  test("q63 PII redaction is a pure narrow projection — no shuffle, no UDF") {
+    val plan = planOf("q63_pii_redact")
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"regex masking must stay codegen'd builtins:\n$plan")
+  }
+
+  test("q64 mixture sampling: tiny rate table broadcast, no window, no sort") {
+    val df = SparkEntry.queries("q64_mixture_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum rates must broadcast:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"the hash coin needs no window or sort:\n$plan")
+  }
+
+  test("q65 LM scoring: count aggs partial, no cartesian") {
+    val df = SparkEntry.queries("q65_lm_perplexity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"model count aggs must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+  }
 }
