@@ -1053,6 +1053,15 @@ object SparkEntry {
       dumpTriplesOnce(s, n)
       graft.query.Autocomplete.complete(builtFor(s, n).dictionary,
         Seq("sta", "eng", "dis", "qu", "zz"), k = 5)
+    }),
+
+    // ---- positional phrase search ("exact phrase" — beyond the tf-only
+    // reference index): positional-posting intersection via (doc, start)
+    // equi-joins of term-filtered postings, top-20 by occurrence count ----
+    "q67_phrase_search" -> ((s, d) => {
+      val pos = graft.query.PhraseSearch.positions(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.query.PhraseSearch.topK(pos, Seq("table", "hash"), k = 20)
     })
   )
 
@@ -1814,6 +1823,25 @@ object SparkEntry {
                     FROM cand)
          SELECT prefix, rank::INTEGER AS rank, term AS completion, df
          FROM ranked WHERE rank <= 5""",
+
+    // q67: same dense lowercased positions, same start-shifted
+    // intersection, same fully-pinned (count desc, doc_id asc) top-20
+    "q67_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         tok AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+                 FROM d),
+         p AS (SELECT doc_id, pos, l[pos] AS term FROM tok),
+         s0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'table'),
+         s1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'hash'),
+         occ AS (SELECT s0.doc_id, s0.start
+                 FROM s0 JOIN s1 USING (doc_id, start)),
+         cnt AS (SELECT doc_id, count(*)::BIGINT AS n_occurrences
+                 FROM occ GROUP BY doc_id)
+         SELECT doc_id, n_occurrences FROM cnt
+         ORDER BY n_occurrences DESC, doc_id ASC LIMIT 20""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),
