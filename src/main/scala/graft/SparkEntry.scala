@@ -227,6 +227,44 @@ object SparkEntry {
       s" SELECT url, round_even(rank * 1e6, 0) / 1e6 AS rank FROM r$iters"
   }
 
+  /** DuckDB SQL for fixed-iteration max-normalized HITS over the dumped
+    * link graph: two CTEs per iteration (auth from hubs, hub from auths),
+    * each zero-filled over all nodes and divided by its max. */
+  private def hitsSql(iters: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q68_nodes/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/q68_edges/*.parquet')),
+         live AS (SELECT e.src, e.dst FROM edges e
+                  JOIN nodes ns ON e.src = ns.url
+                  JOIN nodes nd ON e.dst = nd.url),
+         h0 AS (SELECT url, 1.0e0 AS hub FROM nodes)"""
+    // each CTE references its predecessor exactly ONCE (the max is a
+    // window over the same scan, not a second CTE reference) — DuckDB
+    // inlines CTEs, so a double reference per level would expand 2^iters
+    val iterCtes = (1 to iters).map { i =>
+      s""", ra$i AS (SELECT n.url, coalesce(s.v, 0e0) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT l.dst AS url, sum(h.hub) AS v
+             FROM live l JOIN h${i - 1} h ON l.src = h.url
+             GROUP BY l.dst) s ON n.url = s.url),
+         a$i AS (SELECT url, CASE WHEN max(raw) OVER () = 0 THEN raw
+                                  ELSE raw / max(raw) OVER () END AS auth
+                 FROM ra$i),
+         rh$i AS (SELECT n.url, coalesce(s.v, 0e0) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT l.src AS url, sum(a.auth) AS v
+             FROM live l JOIN a$i a ON l.dst = a.url
+             GROUP BY l.src) s ON n.url = s.url),
+         h$i AS (SELECT url, CASE WHEN max(raw) OVER () = 0 THEN raw
+                                  ELSE raw / max(raw) OVER () END AS hub
+                 FROM rh$i)"""
+    }.mkString
+    head + iterCtes +
+      s""" SELECT h.url, round_even(h.hub * 1e6, 0) / 1e6 AS hub,
+                  round_even(a.auth * 1e6, 0) / 1e6 AS auth
+          FROM h$iters h JOIN a$iters a ON h.url = a.url"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projection / filter (SURVEY §2.1 fromTable/filter) ----
     "q01_scan_project" -> ((s, d) => {
@@ -1062,6 +1100,23 @@ object SparkEntry {
       val pos = graft.query.PhraseSearch.positions(
         t(s, d, "documents"), "doc_id", "text")
       graft.query.PhraseSearch.topK(pos, Seq("table", "hash"), k = 20)
+    }),
+
+    // ---- HITS hubs & authorities (the second link-analysis scorer next
+    // to q32's PageRank): 8 max-normalized iterations over the same
+    // 500-page link graph, oracle = 16-CTE unrolled SQL ----
+    "q68_hits" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val nodes = state0.map(_.url).toDF("url")
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(nodes, "q68_nodes")
+      dumpAux(edges, "q68_edges")
+      graft.rank.Hits.run(nodes, edges, iters = 8)
+        .select(col("url"),
+          (bround(col("hub") * 1e6) / 1e6).as("hub"),
+          (bround(col("auth") * 1e6) / 1e6).as("auth"))
     })
   )
 
@@ -1842,6 +1897,8 @@ object SparkEntry {
                  FROM occ GROUP BY doc_id)
          SELECT doc_id, n_occurrences FROM cnt
          ORDER BY n_occurrences DESC, doc_id ASC LIMIT 20""",
+
+    "q68_hits" -> hitsSql(8),
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),
