@@ -1117,6 +1117,24 @@ object SparkEntry {
         .select(col("url"),
           (bround(col("hub") * 1e6) / 1e6).as("hub"),
           (bround(col("auth") * 1e6) / 1e6).as("auth"))
+    }),
+
+    // ---- PMI related terms ("related searches"): document-level
+    // co-occurrence over the top-200 df-capped vocabulary, top-20 pairs by
+    // PMI with a >= 5 co-occurrence floor ----
+    "q69_related_terms" -> ((s, d) =>
+      graft.ml.Pmi.relatedTerms(t(s, d, "documents"), "doc_id", "text",
+        topTerms = 200, minPairs = 5, k = 20)),
+
+    // ---- ANALYZE-style table profiling: exact per-column row/null/
+    // distinct counts in ONE pass (a nullified derived column makes the
+    // null stats non-trivial — the raw tables are null-free) ----
+    "q70_profile" -> ((s, d) => {
+      val src = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        nullif(col("l_linestatus"), lit("F")).as("status_or_null"))
+      graft.tables.TableProfile.profile(src,
+        Seq("l_orderkey", "l_returnflag", "l_quantity", "status_or_null"))
     })
   )
 
@@ -1899,6 +1917,51 @@ object SparkEntry {
          ORDER BY n_occurrences DESC, doc_id ASC LIMIT 20""",
 
     "q68_hits" -> hitsSql(8),
+
+    // q69: same distinct-presence counts, same df-desc/term-asc top-200
+    // vocabulary cap, same exact-integer PMI expression structure
+    "q69_related_terms" ->
+      """WITH d AS (SELECT doc_id,
+                    list_distinct(list_filter(
+                      string_split_regex(lower(trim(text)), '\s+'),
+                      t -> t <> '')) AS l
+                    FROM documents),
+         pres AS (SELECT doc_id, unnest(l) AS term FROM d),
+         td AS (SELECT term, count(*)::BIGINT AS c FROM pres GROUP BY term),
+         top AS (SELECT term, c FROM td ORDER BY c DESC, term ASC LIMIT 200),
+         p AS (SELECT pr.doc_id, pr.term, t.c FROM pres pr JOIN top t USING (term)),
+         pairs AS (SELECT a.term AS w1, b.term AS w2, a.c AS c1, b.c AS c2,
+                          count(*)::BIGINT AS n_pairs
+                   FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+                   GROUP BY 1, 2, 3, 4
+                   HAVING count(*) >= 5),
+         n AS (SELECT count(*)::BIGINT AS n FROM documents)
+         SELECT w1, w2, n_pairs,
+                round_even(ln((n_pairs * 1e0 * n.n) / (c1 * 1e0 * c2)) * 1e6, 0)
+                  / 1e6 AS pmi
+         FROM pairs CROSS JOIN n
+         ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""",
+
+    // q70: same derived projection, one UNION ALL branch per column
+    "q70_profile" ->
+      """WITH src AS (SELECT l_orderkey, l_returnflag, l_quantity,
+                             nullif(l_linestatus, 'F') AS status_or_null
+                      FROM lineitem)
+         SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                count(DISTINCT l_orderkey)::BIGINT AS n_distinct FROM src
+         UNION ALL
+         SELECT 'l_quantity', count(*)::BIGINT,
+                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT l_quantity)::BIGINT FROM src
+         UNION ALL
+         SELECT 'l_returnflag', count(*)::BIGINT,
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT l_returnflag)::BIGINT FROM src
+         UNION ALL
+         SELECT 'status_or_null', count(*)::BIGINT,
+                sum(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT status_or_null)::BIGINT FROM src""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

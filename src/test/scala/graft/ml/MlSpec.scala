@@ -381,6 +381,26 @@ class MlSpec extends AnyFunSuite {
       "repeated bigram is the most probable → lowest nll")
   }
 
+  test("PMI related terms: hand-computed scores, vocab cap, pair floor") {
+    // 6 docs: (a,b) co-occur 4×, (a,c) 2×; "rare" appears once (outside a
+    // topTerms=3 vocabulary of a,b,c)
+    val rows = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "b a a"), (3L, "a b c"),
+      (4L, "a c rare"), (5L, "c"))
+    val out = Pmi.relatedTerms(rows.toDF("doc_id", "text"), "doc_id", "text",
+        topTerms = 3, minPairs = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // presence: a in 5 docs, b in 4, c in 3; N=6
+    def pmi(c12: Long, c1: Long, c2: Long) =
+      math.rint(math.log((c12 * 1.0 * 6) / (c1 * 1.0 * c2)) * 1e6) / 1e6
+    assert(out(("a", "b")) == ((4L, pmi(4, 5, 4))))
+    assert(out(("a", "c")) == ((2L, pmi(2, 5, 3))))
+    assert(!out.contains(("b", "c")), "1 co-occurrence < minPairs floor")
+    assert(!out.keySet.exists(p => p._1 == "rare" || p._2 == "rare"),
+      "rare is outside the top-3 vocabulary cap")
+  }
+
   test("repetition ratio: hand-computed n-gram duplicate fractions") {
     val rows = Seq(
       (0L, "a b a b a"),    // bigrams [ab,ba,ab,ba] → 1-2/4 = 0.5; trigrams 1-2/3
