@@ -1135,7 +1135,43 @@ object SparkEntry {
         nullif(col("l_linestatus"), lit("F")).as("status_or_null"))
       graft.tables.TableProfile.profile(src,
         Seq("l_orderkey", "l_returnflag", "l_quantity", "status_or_null"))
-    })
+    }),
+
+    // ---- as-of (point-in-time) join: each purchase picks up the most
+    // recent preceding view by the same user — union + ordered window
+    // scan, ONE shuffle on the key, no inequality join (the oracle is an
+    // independent LATERAL top-1 implementation of the same rule) ----
+    "q71_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsOfJoin.asOf(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", tieBreak = "event_id")
+    }),
+
+    // ---- exact grouped quantiles (percentile_cont): distributed sort +
+    // rank-targeted interpolation, state bounded by the sort buffer — not
+    // by group cardinality like Spark's value-count-map `percentile` ----
+    "q72_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.exact(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
+
+    // ---- CUBE aggregation (all four grouping sets in one Expand pass,
+    // partially aggregated map-side); exact integer cents so summation
+    // order can't flip the hash ----
+    "q73_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+          (grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_orders"), col("total_cents")))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -1962,6 +1998,53 @@ object SparkEntry {
          SELECT 'status_or_null', count(*)::BIGINT,
                 sum(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END)::BIGINT,
                 count(DISTINCT status_or_null)::BIGINT FROM src""",
+
+    // q71: independent as-of implementation — LATERAL top-1 per purchase
+    // under the same (ts desc, event_id desc) recency rule, inclusive ts
+    "q71_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts, p.value,
+                r.ts AS asof_ts, r.event_id AS asof_event_id,
+                r.value AS asof_value
+         FROM p LEFT JOIN LATERAL (
+           SELECT ts, event_id, value FROM v
+           WHERE v.user_id = p.user_id AND v.ts <= p.ts
+           ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) r ON true""",
+
+    // q72: same rank-targeted interpolation expression, bit-identical IEEE
+    // ops (pos = p*(n-1)+1; lo + (hi-lo)*(pos-floor(pos))) — no rounding
+    "q72_quantiles" ->
+      """WITH src AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v
+                      FROM lineitem),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY g) AS n FROM src),
+         ps(p) AS (VALUES (0e0), (0.25e0), (0.5e0), (0.75e0), (0.9e0),
+                          (0.99e0), (1e0)),
+         hit AS (SELECT g, p, v, rn, p * (n - 1) + 1 AS pos
+                 FROM r CROSS JOIN ps
+                 WHERE rn = floor(p * (n - 1) + 1)
+                    OR rn = ceil(p * (n - 1) + 1)),
+         a AS (SELECT g, p,
+                      max(CASE WHEN rn = floor(pos) THEN v END) AS lo,
+                      max(CASE WHEN rn = ceil(pos) THEN v END) AS hi,
+                      max(pos) AS pos
+               FROM hit GROUP BY g, p)
+         SELECT g AS l_returnflag, p,
+                lo + (hi - lo) * (pos - floor(pos)) AS q
+         FROM a""",
+
+    // q73: same cube, same grouping-bit algebra, same exact integer cents
+    "q73_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                (GROUPING(o_orderstatus) * 2
+                 + GROUPING(o_orderpriority))::INTEGER AS gid,
+                count(*)::BIGINT AS n_orders,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped quantiles (percentile_cont semantics: linear interpolation
+  * at rank `p·(n-1)+1`) as a distributed sort + rank-targeted interpolation.
+  *
+  * Why not Spark's built-in `percentile`: it is an ImperativeAggregate that
+  * accumulates a value→count OpenHashMap per group on the reduce side —
+  * memory ∝ distinct values per group, which on an open domain (prices,
+  * latencies, doc lengths over 10^12 rows) is the whole column in one heap.
+  * This implementation is the sort-based exact path instead: ONE shuffle
+  * (window partition by group), a spillable per-group sort, and then only
+  * the ≤2 rank-adjacent rows per (group, p) survive into a tiny final
+  * aggregate — the per-executor state is bounded by the sort buffer, never
+  * by group cardinality. For quick approximate monitoring at scale prefer
+  * `approx_percentile` (t-digest, no sort); this is the exact twin an
+  * offline eval needs.
+  *
+  * The interpolation is written as the explicit expression
+  * `lo + (hi - lo) * (pos - floor(pos))` with `pos = p·(n-1)+1` so an
+  * independent engine evaluating the same IEEE ops bit-matches it (the
+  * DuckDB oracle does exactly that — no rounding slop needed).
+  */
+object Quantiles {
+
+  /** One row per (group, p): columns (groupCol, p, q). */
+  def exact(df: DataFrame, groupCol: String, valueCol: String,
+            ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    val byGroup = Window.partitionBy("_g")
+    val ranked = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col("_v").asc)))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+    // Explode the (tiny, literal) p-list against each ranked row and keep
+    // only the ≤2 rank-adjacent rows per (group, p) — the explode+filter
+    // fuses into one codegen stage, so the intermediate is never
+    // materialized at |rows|·|ps|.
+    val hit = ranked
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("_pos", col("p") * (col("_n") - 1) + 1)
+      .filter(col("_rn") === floor(col("_pos")) ||
+        col("_rn") === ceil(col("_pos")))
+    hit.groupBy(col("_g"), col("p"))
+      .agg(
+        max(when(col("_rn") === floor(col("_pos")), col("_v"))).as("_lo"),
+        max(when(col("_rn") === ceil(col("_pos")), col("_v"))).as("_hi"),
+        max(col("_pos")).as("_pos"))
+      .select(col("_g").as(groupCol), col("p"),
+        (col("_lo") + (col("_hi") - col("_lo")) *
+          (col("_pos") - floor(col("_pos")))).as("q"))
+  }
+}
