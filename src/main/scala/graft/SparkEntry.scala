@@ -1171,7 +1171,42 @@ object SparkEntry {
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("gid"), col("n_orders"), col("total_cents")))
+          col("gid"), col("n_orders"), col("total_cents"))),
+
+    // ---- recrawl snapshot delta: classify keys added/removed/changed/
+    // unchanged by content fingerprint — the shuffle carries (key, md5),
+    // never text; downstream incremental ingest re-tokenizes the delta
+    // only. The v2 snapshot drops ids < 20, edits every 7th doc, and adds
+    // 20 synthetic pages so all four classes are non-empty ----
+    "q74_recrawl_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(s.range(20).select((col("id") + 10000L).as("doc_id"),
+          concat(lit("new page "), col("id")).as("text")))
+      graft.crawl.RecrawlDelta.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // ---- politeness-aware crawl-frontier scheduling: per-host priority
+    // queues as ONE window pass (priority = link indegree over the same
+    // 500-page graph q68 analyzes), capped at a 25-url per-host budget ----
+    "q75_frontier" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val nodes = state0.map(_.url).toDF("url")
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(nodes, "q75_nodes")
+      dumpAux(edges, "q75_edges")
+      val indeg = edges.groupBy(col("dst").as("url"))
+        .agg(count(lit(1)).as("indegree"))
+      val cand = nodes.join(indeg, Seq("url"), "left")
+        .select(col("url"), coalesce(col("indegree"), lit(0L)).as("indegree"))
+      graft.crawl.Frontier.schedule(cand, "url", "indegree", maxPerHost = 25)
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2045,6 +2080,43 @@ object SparkEntry {
                 count(*)::BIGINT AS n_orders,
                 sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    // q74: same v2 synthesis, same md5-fingerprint classification
+    "q74_recrawl_delta" ->
+      """WITH olds AS (SELECT doc_id, text FROM documents),
+         news AS (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END AS text
+                  FROM documents WHERE doc_id >= 20
+                  UNION ALL
+                  SELECT 10000 + i, 'new page ' || i::VARCHAR
+                  FROM generate_series(0, 19) t(i)),
+         o AS (SELECT doc_id, md5(text) AS old_fp FROM olds),
+         n AS (SELECT doc_id, md5(text) AS new_fp FROM news)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN old_fp = new_fp THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM o FULL JOIN n ON o.doc_id = n.doc_id""",
+
+    // q75: same indegree priority, same per-host (priority desc, url asc)
+    // queue, same 25-url budget
+    "q75_frontier" ->
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q75_nodes/*.parquet')),
+         edges AS (SELECT dst FROM read_parquet('${auxDir}/q75_edges/*.parquet')),
+         ind AS (SELECT dst AS url, count(*)::BIGINT AS indegree
+                 FROM edges GROUP BY dst),
+         cand AS (SELECT nodes.url,
+                         coalesce(ind.indegree, 0)::BIGINT AS indegree,
+                         regexp_extract(nodes.url, '^https?://([^/:]+)', 1) AS host
+                  FROM nodes LEFT JOIN ind USING (url)),
+         w AS (SELECT url, indegree, host,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY indegree DESC, url ASC) AS wave
+               FROM cand)
+         SELECT url, indegree, host, wave::INTEGER AS wave
+         FROM w WHERE wave <= 25""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),
