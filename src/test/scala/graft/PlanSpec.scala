@@ -181,4 +181,61 @@ class PlanSpec extends AnyFunSuite {
       s"model count aggs must map-side combine:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
   }
+
+  test("q71 as-of join is a union+window scan, never an inequality join") {
+    val df = SparkEntry.queries("q71_asof_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of must not plan as an inequality join:\n$plan")
+    assert(plan.contains("Window"), s"expected the ordered window scan:\n$plan")
+    // AQE's toString appends an "== Initial Plan ==" section — count
+    // exchanges in the FINAL plan only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
+      s"one shuffle on the key, total:\n$plan")
+  }
+
+  test("q72 quantiles: explode fuses, no cartesian, two bounded shuffles") {
+    val df = SparkEntry.queries("q72_quantiles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"rank window expected:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"p-list must explode inline, not join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).size <= 2,
+      s"window shuffle + tiny final agg only:\n$plan")
+  }
+
+  test("q73 cube expands grouping sets with map-side partial aggregation") {
+    val df = SparkEntry.queries("q73_cube")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube must plan via Expand:\n$plan")
+    assert(plan.contains("partial"),
+      s"grouping sets must partially aggregate before the shuffle:\n$plan")
+  }
+
+  test("q74 recrawl delta fingerprints before the full-outer join") {
+    val df = SparkEntry.queries("q74_recrawl_delta")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"equi-join only:\n$plan")
+    assert(plan.contains("md5"),
+      s"fingerprint must be projected (shuffle carries md5, not text):\n$plan")
+  }
+
+  test("q75 frontier: per-host window queue, no global sort") {
+    val df = SparkEntry.queries("q75_frontier")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"per-host queue is a window:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"politeness queues must not globally sort the frontier:\n$plan")
+  }
 }
