@@ -1206,6 +1206,32 @@ object SparkEntry {
       val cand = nodes.join(indeg, Seq("url"), "left")
         .select(col("url"), coalesce(col("indegree"), lit(0L)).as("indegree"))
       graft.crawl.Frontier.schedule(cand, "url", "indegree", maxPerHost = 25)
+    }),
+
+    // ---- small-file compaction (Iceberg rewrite_data_files analog): a
+    // fragmented partitioned write collapses to ONE file per partition in
+    // a new snapshot — rows verbatim, lineage kept, pre-compaction
+    // snapshot still time-travelable; the oracle recomputes the final agg
+    // straight from the source table, so any row lost or duplicated by
+    // the rewrite flips the hash ----
+    "q76_compact" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q76").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(8, col("doc_id")) // fragment: up to 8 files per lang
+      val v1 = graft.tables.TableIO.write(docs, dir, "append", Some("lang"))
+      val v2 = graft.tables.TableIO.compact(s, dir, Some("lang"))
+      require(v2 == v1 + 1, "compaction must commit a new snapshot")
+      val perPart = graft.tables.TableIO.manifest(s, dir, Some(v2))
+        .filter(_.path.nonEmpty).groupBy(_.partition).values.map(_.size)
+      require(perPart.nonEmpty && perPart.forall(_ == 1),
+        s"expected 1 file per partition after compaction, got $perPart")
+      require(graft.tables.TableIO.read(s, dir, Some(v1)).count() ==
+        graft.tables.TableIO.read(s, dir, Some(v2)).count(),
+        "compaction changed the row count")
+      graft.tables.TableIO.read(s, dir, Some(v2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     })
   )
 
@@ -2117,6 +2143,12 @@ object SparkEntry {
                FROM cand)
          SELECT url, indegree, host, wave::INTEGER AS wave
          FROM w WHERE wave <= 25""",
+
+    // q76: the compacted snapshot must agg identically to the source table
+    "q76_compact" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY lang""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

@@ -301,6 +301,61 @@ object TableIO {
     (snapId, rebuild, reuse)
   }
 
+  /** Iceberg `rewrite_data_files` analog: rewrite the CURRENT snapshot's
+    * data as a new compacted snapshot — same rows, fewer right-sized files —
+    * and commit it with operation "compact". Content, schema, and lineage
+    * fingerprints carry over unchanged (compaction moves bytes, not data),
+    * so a resumable writer's next run still reuses every partition.
+    *
+    * Why it exists: every hourly `writeResumable` commit rewrites only the
+    * CHANGED partitions but leaves each rebuilt partition with however many
+    * files its write produced; streaming-ish ingest accretes small files,
+    * and at 10^12 rows the table's read cost becomes open()s and footer
+    * reads, not bytes. Compaction collapses a partitioned table to one file
+    * per partition value (ONE shuffle on the partition column — the same
+    * collapse writeResumable applies to rebuilt partitions) and an
+    * unpartitioned table to `ceil(rows / targetRowsPerFile)` files.
+    *
+    * No-op safe: if the table is already compact the current snapshot id is
+    * returned and nothing is written. The pre-compaction snapshot stays
+    * time-travelable until [[expireSnapshots]] reclaims it.
+    */
+  def compact(spark: SparkSession, dir: String,
+              partitionCol: Option[String] = None,
+              targetRowsPerFile: Long = 10_000_000L): Long = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    val cur = currentSnapshotId(dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val files = manifest(spark, dir, Some(cur)).filter(_.path.nonEmpty)
+    val alreadyCompact = partitionCol match {
+      case Some(_) => files.groupBy(_.partition).values.forall(_.size <= 1)
+      case None =>
+        val target = math.max(1L,
+          (files.map(_.rows).sum + targetRowsPerFile - 1) / targetRowsPerFile)
+        files.size <= target
+    }
+    if (alreadyCompact) return cur
+
+    val df = read(spark, dir, Some(cur))
+    val snapId = cur + 1
+    val dataDir = Paths.get(dir, "data", s"snap-$snapId")
+    deleteRecursively(dataDir) // uncommitted leftovers of a crashed attempt
+    partitionCol match {
+      case Some(c) =>
+        df.repartition(org.apache.spark.sql.functions.col(c))
+          .write.mode(SaveMode.Overwrite).partitionBy(c).parquet(dataDir.toString)
+      case None =>
+        val target = math.max(1L,
+          (files.map(_.rows).sum + targetRowsPerFile - 1) / targetRowsPerFile)
+        df.repartition(target.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    }
+    val schemaDdl = snapshotMeta(spark, dir, cur).map(_.schema_ddl).getOrElse("")
+    commitExisting(spark, dir, snapId, "compact", schemaDdl, partitionCol,
+      lineage(spark, dir, Some(cur)))
+    snapId
+  }
+
   // ------------------------------------------------------------------ helpers
   private def deleteRecursively(root: Path): Unit =
     if (Files.exists(root)) {
