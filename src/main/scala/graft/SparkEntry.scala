@@ -1232,6 +1232,29 @@ object SparkEntry {
       graft.tables.TableIO.read(s, dir, Some(v2))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- fixed-size weighted sampling without replacement (A-ES): 50
+    // docs drawn ∝ length via the portable-hash exponential-key trick —
+    // TakeOrdered top-k, no global sort, reproducible across engines ----
+    "q77_weighted_sample" -> ((s, d) => {
+      val sampled = graft.ml.WeightedSample.topK(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50, seed = "g77")
+      sampled.select(col("doc_id"), col("n_chars"),
+        (bround(col("samp_key") * 1e6) / 1e6).as("samp_key"))
+    }),
+
+    // ---- bibliographic-coupling related pages (third link-analysis
+    // scorer next to q32 PageRank / q68 HITS): shared-outlink pair counts
+    // with hub targets capped BEFORE the quadratic self-join ----
+    "q78_related_pages" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(edges, "q78_edges")
+      graft.rank.RelatedPages.biblioCoupling(edges, maxIndegree = 25, k = 20)
     })
   )
 
@@ -2149,6 +2172,33 @@ object SparkEntry {
       """SELECT lang, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
          FROM documents GROUP BY lang""",
+
+    // q77: same portable hash, same u-mapping, same ln(u)/w key, same
+    // (key desc, doc_id asc) top-50
+    "q77_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+                    ('0x' || substr(md5(doc_id::VARCHAR || 'g77'), 1, 15))::BIGINT AS h
+                    FROM documents WHERE n_chars > 0),
+         k AS (SELECT doc_id, n_chars,
+                      ln((h % 1000000 + 1) / 1000002e0) / n_chars AS key
+               FROM h)
+         SELECT doc_id, n_chars, round_even(key * 1e6, 0) / 1e6 AS samp_key
+         FROM k ORDER BY key DESC, doc_id ASC LIMIT 50""",
+
+    // q78: same distinct edges, same <=25-indegree target cap, same
+    // (shared desc, src1, src2) top-20
+    "q78_related_pages" ->
+      s"""WITH e AS (SELECT DISTINCT src, dst
+                     FROM read_parquet('${auxDir}/q78_edges/*.parquet')),
+         keep AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 25),
+         ke AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst)),
+         pairs AS (SELECT a.src AS src1, b.src AS src2,
+                          count(*)::BIGINT AS shared
+                   FROM ke a JOIN ke b
+                     ON a.dst = b.dst AND a.src < b.src
+                   GROUP BY a.src, b.src)
+         SELECT src1, src2, shared FROM pairs
+         ORDER BY shared DESC, src1 ASC, src2 ASC LIMIT 20""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

@@ -230,6 +230,23 @@ class PlanSpec extends AnyFunSuite {
       s"fingerprint must be projected (shuffle carries md5, not text):\n$plan")
   }
 
+  test("q77 weighted sample selects via TakeOrdered, not a global sort") {
+    val plan = planOf("q77_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES top-k must plan as TakeOrdered:\n$plan")
+  }
+
+  test("q78 coupling: hub cap pre-join, equi-join only, partial counts") {
+    val df = SparkEntry.queries("q78_related_pages")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on dst:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"pair counts must map-side combine:\n$plan")
+  }
+
   test("q75 frontier: per-host window queue, no global sort") {
     val df = SparkEntry.queries("q75_frontier")(spark, sf)
     df.collect()
