@@ -1255,6 +1255,18 @@ object SparkEntry {
         .toDF("src", "dst")
       dumpAux(edges, "q78_edges")
       graft.rank.RelatedPages.biblioCoupling(edges, maxIndegree = 25, k = 20)
+    }),
+
+    // ---- index df-skew statistics (the planning input behind the build's
+    // term salting): exact GLOBAL quantiles of the dictionary's document-
+    // frequency distribution via the range-partitioned two-phase rank
+    // targeting — the single-group case grouped quantiles must not serve ----
+    "q79_index_stats" -> ((s, _) => {
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val dfs = builtFor(s, n).dictionary.toDF().select(col("df"))
+      graft.operators.Quantiles.exactGlobal(dfs, "df",
+        Seq(0.0, 0.5, 0.9, 0.99, 1.0))
     })
   )
 
@@ -2199,6 +2211,27 @@ object SparkEntry {
                    GROUP BY a.src, b.src)
          SELECT src1, src2, shared FROM pairs
          ORDER BY shared DESC, src1 ASC, src2 ASC LIMIT 20""",
+
+    // q79: same df derivation as q66's dictionary, same global rank
+    // targeting and interpolation arithmetic as q72
+    "q79_index_stats" ->
+      s"""WITH tr AS (SELECT term, count(*)::BIGINT AS df
+                      FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')
+                      GROUP BY term),
+         r AS (SELECT df::DOUBLE AS v,
+                      row_number() OVER (ORDER BY df) AS rn,
+                      count(*) OVER () AS n
+               FROM tr),
+         ps(p) AS (VALUES (0e0), (0.5e0), (0.9e0), (0.99e0), (1e0)),
+         hit AS (SELECT p, v, rn, p * (n - 1) + 1 AS pos
+                 FROM r CROSS JOIN ps
+                 WHERE rn = floor(p * (n - 1) + 1)
+                    OR rn = ceil(p * (n - 1) + 1)),
+         a AS (SELECT p, max(CASE WHEN rn = floor(pos) THEN v END) AS lo,
+                      max(CASE WHEN rn = ceil(pos) THEN v END) AS hi,
+                      max(pos) AS pos
+               FROM hit GROUP BY p)
+         SELECT p, lo + (hi - lo) * (pos - floor(pos)) AS q FROM a""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

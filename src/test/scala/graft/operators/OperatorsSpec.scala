@@ -86,6 +86,20 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(v - want(k)) < 1e-9, s"$k: $v vs ${want(k)}") }
   }
 
+  test("exactGlobal agrees with grouped exact on a constant group") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ((i * 13 % 97) * 0.75))
+    val df = vals.map(v => ("all", v)).toDF("g", "v")
+    val ps = Seq(0.0, 0.33, 0.5, 0.99, 1.0)
+    val grouped = Quantiles.exact(df, "g", "v", ps)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    val global = Quantiles.exactGlobal(df.repartition(7), "v", ps)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(grouped.keySet == global.keySet)
+    grouped.foreach { case (p, q) =>
+      assert(q == global(p), s"p=$p: grouped $q vs global ${global(p)}") }
+  }
+
   test("quantiles: invariant under partitioning; single-row group works") {
     import spark.implicits._
     val df = ((1 to 100).map(i => ("x", i * 0.5)) ++ Seq(("solo", 42.0)))
