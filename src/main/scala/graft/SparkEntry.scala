@@ -2192,7 +2192,8 @@ object SparkEntry {
                     ('0x' || substr(md5(doc_id::VARCHAR || 'g77'), 1, 15))::BIGINT AS h
                     FROM documents WHERE n_chars > 0),
          k AS (SELECT doc_id, n_chars,
-                      ln((h % 1000000 + 1) / 1000002e0) / n_chars AS key
+                      ln((h % 1125899906842624 + 1) / 1125899906842626e0)
+                        / n_chars AS key
                FROM h)
          SELECT doc_id, n_chars, round_even(key * 1e6, 0) / 1e6 AS samp_key
          FROM k ORDER BY key DESC, doc_id ASC LIMIT 50""",

@@ -22,13 +22,18 @@ object RecrawlDelta {
   /** One row per key present in either snapshot: (key, status). */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
            text: String): DataFrame = {
-    val o = oldSnap.select(col(key).as("_k"), md5(col(text)).as("_ofp"))
-    val n = newSnap.select(col(key).as("_k"), md5(col(text)).as("_nfp"))
+    // presence is a flag, NOT fingerprint-nullness: a NULL text hashes to
+    // a NULL md5, and classifying on that would call a key present in both
+    // snapshots "added"; the null-safe <=> keeps NULL-vs-NULL "unchanged"
+    val o = oldSnap.select(col(key).as("_k"), md5(col(text)).as("_ofp"),
+      lit(true).as("_oin"))
+    val n = newSnap.select(col(key).as("_k"), md5(col(text)).as("_nfp"),
+      lit(true).as("_nin"))
     o.join(n, Seq("_k"), "full_outer")
       .select(col("_k").as(key),
-        when(col("_ofp").isNull, lit("added"))
-          .when(col("_nfp").isNull, lit("removed"))
-          .when(col("_ofp") === col("_nfp"), lit("unchanged"))
+        when(col("_oin").isNull, lit("added"))
+          .when(col("_nin").isNull, lit("removed"))
+          .when(col("_ofp") <=> col("_nfp"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -33,7 +33,12 @@ object WeightedSample {
     val h = expr(
       s"conv(substr(md5(concat(cast(`$idCol` as string), '$seed')), 1, 15), 16, 10)")
       .cast("long")
-    val u = (h % 1000000L + 1).cast("double") / lit(1000002.0)
+    // u over 2^50 distinct values: big enough that the k-th-key boundary
+    // bucket is a singleton w.h.p. even at 10^12 rows (a coarse u would
+    // make the boundary an exact-key TIE resolved by id — a deterministic
+    // low-id bias), small enough that the integer arithmetic stays exact
+    // in a double on every engine (2^50 + 2 < 2^53)
+    val u = (h % 1125899906842624L + 1).cast("double") / lit(1125899906842626.0)
     df.filter(col(weightCol) > 0)
       .withColumn("samp_key", log(u) / col(weightCol).cast("double"))
       .orderBy(col("samp_key").desc, col(idCol).asc)

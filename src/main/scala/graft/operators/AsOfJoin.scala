@@ -44,7 +44,11 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"asOf: prefixed right columns collide with left columns: $clash")
 
-    val rPrep = right.select(
+    // a NULL right timestamp satisfies no `ts <= t` predicate — drop it
+    // here (nulls-first ordering would otherwise make it "earlier than
+    // everything" and matchable); a NULL LEFT timestamp sorts before every
+    // right row and correctly matches nothing
+    val rPrep = right.filter(col(rightTs).isNotNull).select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       col(tieBreak).as("_tie"),
       struct(rightPayload.map(col): _*).as("_r"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,6 +35,7 @@ object Quantiles {
       s"quantile fractions must be in [0,1]: $ps")
     val byGroup = Window.partitionBy("_g")
     val ranked = df
+      .filter(col(valueCol).isNotNull) // percentile_cont ignores NULLs
       .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
       .withColumn("_rn", row_number().over(byGroup.orderBy(col("_v").asc)))
       .withColumn("_n", count(lit(1)).over(byGroup))
@@ -69,9 +72,13 @@ object Quantiles {
       s"quantile fractions must be in [0,1]: $ps")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.select(col(valueCol).cast("double").as("_v"))
+    // no sortWithinPartitions here: phase 1 only counts, and phase 2's
+    // window re-shuffles by _pid and sorts by _v itself — a pre-sort would
+    // be thrown away
+    val sorted = df
+      .filter(col(valueCol).isNotNull) // percentile_cont ignores NULLs
+      .select(col(valueCol).cast("double").as("_v"))
       .repartitionByRange(parts, col("_v"))
-      .sortWithinPartitions("_v")
       .select(col("_v"), spark_partition_id().as("_pid"))
     sorted.persist()
     try {
@@ -118,13 +125,5 @@ object Quantiles {
       // stale offsets with fresh partitions
       spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
     } finally sorted.unpersist()
-  }
-
-  private implicit class SeqAsJava[A](s: Seq[A]) {
-    def asJava: java.util.List[A] = {
-      val l = new java.util.ArrayList[A](s.size)
-      s.foreach(l.add)
-      l
-    }
   }
 }

@@ -209,14 +209,22 @@ object TableIO {
       .map(f => s"$dir/${f.path}")
     val ddl = snapshotMeta(spark, dir, snap).map(_.schema_ddl).getOrElse("")
     if (files.nonEmpty) {
-      val df = spark.read
+      val reader = spark.read
         .option("basePath", Paths.get(dir, "data", s"snap-$snap").toString)
-        .parquet(files: _*)
-      if (ddl.isEmpty) df
+      if (ddl.isEmpty) reader.parquet(files: _*)
       else {
-        val want = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
-          .filter(df.columns.contains)
-        df.select(want.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        // apply the RECORDED schema: without it Spark's partition-column
+        // type inference turns a numeric-LOOKING string partition value
+        // ("01") into an integer (1) — silently mutating the value, and
+        // corrupting directory names + lineage keys if the frame is ever
+        // rewritten (compact). With an explicit schema the partition
+        // column keeps its committed type and the raw directory string.
+        // Spark still APPENDS partition columns after data columns, so the
+        // recorded column ORDER is restored with a select.
+        val want = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val df = reader.schema(want).parquet(files: _*)
+        df.select(want.fieldNames.filter(df.columns.contains)
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       }
     } else {
       require(ddl.nonEmpty, s"empty snapshot $snap at $dir records no schema")
@@ -327,12 +335,11 @@ object TableIO {
     val cur = currentSnapshotId(dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     val files = manifest(spark, dir, Some(cur)).filter(_.path.nonEmpty)
+    val targetFiles = math.max(1L,
+      (files.map(_.rows).sum + targetRowsPerFile - 1) / targetRowsPerFile)
     val alreadyCompact = partitionCol match {
       case Some(_) => files.groupBy(_.partition).values.forall(_.size <= 1)
-      case None =>
-        val target = math.max(1L,
-          (files.map(_.rows).sum + targetRowsPerFile - 1) / targetRowsPerFile)
-        files.size <= target
+      case None => files.size <= targetFiles
     }
     if (alreadyCompact) return cur
 
@@ -345,9 +352,7 @@ object TableIO {
         df.repartition(org.apache.spark.sql.functions.col(c))
           .write.mode(SaveMode.Overwrite).partitionBy(c).parquet(dataDir.toString)
       case None =>
-        val target = math.max(1L,
-          (files.map(_.rows).sum + targetRowsPerFile - 1) / targetRowsPerFile)
-        df.repartition(target.toInt)
+        df.repartition(targetFiles.toInt)
           .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     }
     val schemaDdl = snapshotMeta(spark, dir, cur).map(_.schema_ddl).getOrElse("")

@@ -24,6 +24,19 @@ class CrawlOpsSpec extends AnyFunSuite {
       (3L, "changed"), (4L, "added")))
   }
 
+  test("recrawl delta: NULL text is presence, not absence") {
+    import spark.implicits._
+    val o = Seq((1L, None: Option[String]), (2L, None: Option[String]),
+      (3L, Some("x"))).toDF("doc_id", "text")
+    val n = Seq((1L, Some("now set")), (2L, None: Option[String]),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val got = RecrawlDelta.diff(o, n, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "changed"),     // null -> text, key present in both
+      (2L, "unchanged"),                   // null -> null
+      (3L, "changed")))                    // text -> null
+  }
+
   test("recrawl delta: invariant under partitioning") {
     import spark.implicits._
     val o = (1 to 200).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")

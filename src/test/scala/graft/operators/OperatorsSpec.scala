@@ -46,6 +46,18 @@ class OperatorsSpec extends AnyFunSuite {
       (103L, -1L, -1.0)))
   }
 
+  test("asOf: a NULL right timestamp never matches; NULL left ts gets nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, Some(ts(50)), 1.0), (2L, 1L, None, 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((1L, None: Option[Timestamp], 900L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(4))).toSet
+    assert(out == Set((1L, true), (2L, true)),
+      "null-ts rows must not participate on either side")
+  }
+
   test("asOf: result invariant under input partitioning") {
     import spark.implicits._
     val left = (1 to 400).map(i =>
@@ -98,6 +110,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(grouped.keySet == global.keySet)
     grouped.foreach { case (p, q) =>
       assert(q == global(p), s"p=$p: grouped $q vs global ${global(p)}") }
+  }
+
+  test("quantiles ignore NULL values like percentile_cont") {
+    import spark.implicits._
+    val d = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)))
+      .toDF("g", "v")
+    val got = Quantiles.exact(d, "g", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == Map(0.0 -> 1.0, 0.5 -> 1.5, 1.0 -> 2.0),
+      s"nulls must be excluded from ranks and counts: $got")
+    val global = Quantiles.exactGlobal(d, "v", Seq(0.5))
+      .collect().map(r => r.getDouble(1))
+    assert(global.toSeq == Seq(1.5))
   }
 
   test("quantiles: invariant under partitioning; single-row group works") {

@@ -69,6 +69,27 @@ class TableCompactSpec extends AnyFunSuite {
     }
   }
 
+  test("compact preserves numeric-LOOKING string partition values verbatim") {
+    import spark.implicits._
+    // "01".."03" would be inferred as integers 1..3 by Spark's partition
+    // type inference — the recorded-schema read must keep them strings so
+    // the rewrite reproduces the exact directory names and lineage keys
+    val dir = tmpDir()
+    val df = (1 to 90).map(i => (i.toLong, f"0${i % 3 + 1}%s"))
+      .toDF("id", "month").repartition(6, col("id"))
+    val v1 = TableIO.write(df, dir, "append", Some("month"),
+      Map("01" -> "f1", "02" -> "f2", "03" -> "f3"))
+    val v2 = TableIO.compact(spark, dir, Some("month"))
+    assert(v2 == v1 + 1)
+    val months = TableIO.read(spark, dir, Some(v2))
+      .select("month").distinct().collect().map(_.getString(0)).sorted
+    assert(months.toSeq == Seq("01", "02", "03"),
+      s"partition values mutated by the rewrite: ${months.toSeq}")
+    assert(TableIO.lineage(spark, dir, Some(v2)) ==
+      Map("01" -> "f1", "02" -> "f2", "03" -> "f3"),
+      "lineage keys must survive the rewrite")
+  }
+
   test("unpartitioned compact honors targetRowsPerFile; resume still reuses") {
     import spark.implicits._
     val dir = tmpDir()
