@@ -1267,6 +1267,76 @@ object SparkEntry {
       val dfs = builtFor(s, n).dictionary.toDF().select(col("df"))
       graft.operators.Quantiles.exactGlobal(dfs, "df",
         Seq(0.0, 0.5, 0.9, 0.99, 1.0))
+    }),
+
+    // ---- equi-width histogram profiling (TableProfile's distribution
+    // companion): one tiny min/max agg broadcast back + one map-side-
+    // combined count per bin — no sort, no window ----
+    "q80_histogram" -> ((s, d) =>
+      graft.tables.TableProfile.histogram(
+        t(s, d, "lineitem"), "l_extendedprice", bins = 8)),
+
+    // ---- skew-defusing salted join: the fact side scatters across 8 salt
+    // lanes by a deterministic row hash, the dim side replicates — result
+    // EXACTLY equals the plain join the oracle runs ----
+    "q81_salted_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "value")
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment", (col("user_id") % 5).cast("int"))
+      graft.operators.SaltedJoin.inner(ev, dim, "user_id", salts = 8)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // ---- index-generation delta: after a recrawl rebuilds ONE bucket
+    // (q43/q54's resume machinery), diff the two snapshot generations'
+    // postings — the incremental "what changed in the index" audit. The
+    // oracle recomputes BOTH generations' tokenizer truth independently,
+    // so the whole build→resume→snapshot-read pipeline must agree with
+    // the tokenizer for every (url, term) of both versions ----
+    "q82_index_delta" -> ((s, _) => {
+      import s.implicits._
+      val n = 500
+      val dir = java.nio.file.Files.createTempDirectory("graft_q82").toString
+      val pages = graft.corpus.Corpus.generate(s, n)
+      val mutated = pages.map { p =>
+        if (p.url.endsWith("/p/7"))
+          p.copy(html = new String(p.html, "UTF-8")
+            .replace("<p>", "<p>galaxy engine prince station soldier ")
+            .getBytes("UTF-8"))
+        else p
+      }
+      val r1 = graft.index.SegmentedIndex.buildSegments(
+        s, mutated, graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      val r2 = graft.index.SegmentedIndex.buildSegments(
+        s, pages, graft.corpus.Corpus.lexicon, dir, buckets = 8)
+      require(r2.rebuilt.size == 1,
+        s"v2 must rebuild only the mutated bucket, got ${r2.rebuilt}")
+      val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
+      def trip(ds: org.apache.spark.sql.Dataset[graft.corpus.Page], name: String): Unit =
+        dumpAux(ds.flatMap { p =>
+          graft.text.Text.postings(p.url, new String(p.html, "UTF-8"), lex.value)
+            .map { case (t, tf) => (p.url, t, tf) }
+        }.toDF("url", "term", "tf"), name)
+      trip(mutated, "q82_tripv1")
+      trip(pages, "q82_tripv2")
+      def postingsOf(snap: Long) =
+        graft.tables.TableIO.read(s, dir, Some(snap))
+          .select(col("url"), col("term"), col("tf"))
+      val v1 = postingsOf(r1.snapshotId)
+        .withColumnRenamed("tf", "tf_v1").withColumn("_in1", lit(true))
+      val v2 = postingsOf(r2.snapshotId)
+        .withColumnRenamed("tf", "tf_v2").withColumn("_in2", lit(true))
+      v1.join(v2, Seq("url", "term"), "full_outer")
+        .withColumn("status",
+          when(col("_in1").isNull, lit("added"))
+            .when(col("_in2").isNull, lit("removed"))
+            .when(col("tf_v1") === col("tf_v2"), lit("unchanged"))
+            .otherwise(lit("changed")))
+        .filter(col("status") =!= "unchanged")
+        .select(col("url"), col("term"), col("tf_v1"), col("tf_v2"),
+          col("status"))
     })
   )
 
@@ -2233,6 +2303,52 @@ object SparkEntry {
                       max(pos) AS pos
                FROM hit GROUP BY p)
          SELECT p, lo + (hi - lo) * (pos - floor(pos)) AS q FROM a""",
+
+    // q80: same min/max span, same least(floor((v-mn)/width), bins-1) bin
+    "q80_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice::DOUBLE) AS mn,
+                            max(l_extendedprice::DOUBLE) AS mx
+                     FROM lineitem),
+         b AS (SELECT (CASE WHEN mx = mn THEN 0
+                            ELSE least(floor((l_extendedprice::DOUBLE - mn)
+                                             / ((mx - mn) / 8)), 7)
+                       END)::INTEGER AS bin,
+                      l_extendedprice::DOUBLE AS v
+               FROM lineitem CROSS JOIN mm
+               WHERE l_extendedprice IS NOT NULL)
+         SELECT bin, count(*)::BIGINT AS n_rows,
+                min(v) AS bin_min, max(v) AS bin_max
+         FROM b GROUP BY bin""",
+
+    // q81: the salted plan must equal this plain join verbatim
+    "q81_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id,
+                             (user_id % 5)::INTEGER AS segment
+                      FROM events),
+         j AS (SELECT e.value, d.segment
+               FROM events e JOIN dim d USING (user_id))
+         SELECT segment, count(*)::BIGINT AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM j GROUP BY segment""",
+
+    // q82: the engine's two snapshot generations must diff exactly like
+    // the two tokenizer-truth triple dumps
+    "q82_index_delta" ->
+      s"""WITH v1 AS (SELECT url, term, tf AS tf_v1
+                      FROM read_parquet('${auxDir}/q82_tripv1/*.parquet')),
+         v2 AS (SELECT url, term, tf AS tf_v2
+                FROM read_parquet('${auxDir}/q82_tripv2/*.parquet')),
+         d AS (SELECT coalesce(v1.url, v2.url) AS url,
+                      coalesce(v1.term, v2.term) AS term,
+                      tf_v1, tf_v2,
+                      CASE WHEN v1.url IS NULL THEN 'added'
+                           WHEN v2.url IS NULL THEN 'removed'
+                           WHEN tf_v1 = tf_v2 THEN 'unchanged'
+                           ELSE 'changed' END AS status
+               FROM v1 FULL JOIN v2
+                 ON v1.url = v2.url AND v1.term = v2.term)
+         SELECT url, term, tf_v1, tf_v2, status
+         FROM d WHERE status <> 'unchanged'""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

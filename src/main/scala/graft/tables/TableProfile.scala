@@ -32,4 +32,29 @@ object TableProfile {
         row.getLong(row.fieldIndex(s"dist_$c")))
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct")
   }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], one (bin, n_rows, bin_min, bin_max) row per NON-EMPTY
+    * bucket. NULLs are excluded (they have no bin).
+    *
+    * Two tiny passes: a 1-row min/max agg broadcast back onto the scan,
+    * then a map-side-combined count per bin — no sort, no window, and the
+    * bin expression `least(floor((v-mn)/width), bins-1)` is plain IEEE
+    * arithmetic an independent engine reproduces exactly. A constant
+    * column (mn == mx) degenerates to one bin 0. */
+  def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val v = col(column).cast("double")
+    val mm = df.agg(min(v).as("_mn"), max(v).as("_mx"))
+    df.filter(col(column).isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("_mx") === col("_mn"), lit(0)).otherwise(
+          least(floor((v - col("_mn")) /
+            ((col("_mx") - col("_mn")) / bins)), lit(bins - 1)))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min(v).as("bin_min"), max(v).as("bin_max"))
+  }
 }

@@ -247,6 +247,26 @@ class PlanSpec extends AnyFunSuite {
       s"pair counts must map-side combine:\n$plan")
   }
 
+  test("q80 histogram: scalar min/max broadcast, no sort, partial counts") {
+    val df = SparkEntry.queries("q80_histogram")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("rangepartitioning"),
+      s"binning must not sort:\n$plan")
+    assert(plan.contains("partial"),
+      s"bin counts must map-side combine:\n$plan")
+  }
+
+  test("q81 salted join stays an equi-join on (key, salt)") {
+    val df = SparkEntry.queries("q81_salted_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salting must not degrade the join:\n$plan")
+    assert(plan.contains("_salt"), s"salt lanes must be in the join key:\n$plan")
+  }
+
   test("q75 frontier: per-host window queue, no global sort") {
     val df = SparkEntry.queries("q75_frontier")(spark, sf)
     df.collect()
