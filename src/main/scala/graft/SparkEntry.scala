@@ -1337,6 +1337,51 @@ object SparkEntry {
         .filter(col("status") =!= "unchanged")
         .select(col("url"), col("term"), col("tf_v1"), col("tf_v2"),
           col("status"))
+    }),
+
+    // ---- multi-source BFS crawl depth: min hop distance from the seed
+    // list over the SAME link graph q32/q68 score, frontier-iterated
+    // (per-round shuffle is O(frontier × degree), never O(V+E)); the
+    // oracle is an independent recursive-CTE reachability expansion ----
+    "q83_bfs_depth" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      val seeds = state0.map(_.url).toDF("url")
+        .filter(col("url").endsWith("/p/0") || col("url").endsWith("/p/250"))
+      dumpAux(edges, "q83_edges")
+      dumpAux(seeds, "q83_seeds")
+      graft.rank.Bfs.hops(seeds, edges, maxHops = 6)
+    }),
+
+    // ---- SymSpell-style all-pairs edit-distance-1 vocabulary neighbors:
+    // deletion-neighborhood candidate join (linear in |V|) + levenshtein
+    // verify, proved equal to the |V|² cross join the oracle runs ----
+    "q84_term_neighbors" -> ((s, _) => {
+      val vocab = builtFor(s, 1000).dictionary.toDF().select("term", "df")
+      dumpAux(vocab, "q84_vocab")
+      graft.query.TermNeighbors.editDistance1(vocab, minLen = 3)
+    }),
+
+    // ---- bucketized range (band) join: events land in the overlapping
+    // 2-step windows containing them via a bucket equi-join + residual
+    // containment filter — never a BroadcastNestedLoopJoin; the oracle IS
+    // the naive inequality join ----
+    "q85_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events") // ts is NTZ; UTC session makes the cast value-preserving
+        .select(unix_micros(col("ts").cast("timestamp")).as("p"), col("value"))
+      val r = ev.agg(min(col("p")), max(col("p"))).collect()(0)
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val step = (mx - mn) / 40 // integer floor-div, == DuckDB `//`
+      val win = s.range(40).select(col("id").as("window_id"),
+        (lit(mn) + col("id") * lit(step)).as("ws"),
+        (lit(mn) + col("id") * lit(step) + lit(2 * step)).as("we"))
+      graft.operators.RangeJoin
+        .pointInInterval(ev, "p", win, "ws", "we", bucketWidth = 2.0 * step)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
     })
   )
 
@@ -2349,6 +2394,45 @@ object SparkEntry {
                  ON v1.url = v2.url AND v1.term = v2.term)
          SELECT url, term, tf_v1, tf_v2, status
          FROM d WHERE status <> 'unchanged'""",
+
+    // q83: recursive reachability expansion, min hop per url — must equal
+    // the frontier-iterated BFS
+    "q83_bfs_depth" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT url, 0 AS hop
+           FROM read_parquet('${auxDir}/q83_seeds/*.parquet')
+           UNION
+           SELECT e.dst AS url, r.hop + 1 AS hop
+           FROM r JOIN read_parquet('${auxDir}/q83_edges/*.parquet') e
+             ON e.src = r.url
+           WHERE r.hop < 6)
+         SELECT url, min(hop)::INTEGER AS hop FROM r GROUP BY url""",
+
+    // q84: the deletion-neighborhood plan must equal the naive quadratic
+    // levenshtein join verbatim
+    "q84_term_neighbors" ->
+      s"""WITH v AS (SELECT term, df
+                     FROM read_parquet('${auxDir}/q84_vocab/*.parquet')
+                     WHERE length(term) >= 3)
+         SELECT a.term AS term_a, b.term AS term_b,
+                a.df AS df_a, b.df AS df_b
+         FROM v a JOIN v b
+           ON a.term < b.term AND levenshtein(a.term, b.term) = 1""",
+
+    // q85: the bucketized band join must equal the naive inequality join
+    "q85_range_join" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                     FROM events),
+         w AS (SELECT i AS window_id,
+                      mn + i * ((mx - mn) // 40) AS ws,
+                      mn + i * ((mx - mn) // 40) + 2 * ((mx - mn) // 40) AS we
+               FROM mm CROSS JOIN range(0, 40) t(i)),
+         j AS (SELECT w.window_id, e.value
+               FROM events e JOIN w
+                 ON epoch_us(e.ts) BETWEEN w.ws AND w.we)
+         SELECT window_id, count(*)::BIGINT AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM j GROUP BY window_id""",
     "q40_search_direct" -> refSearchSql("galaxy engine search", 1000, triplesName(1000), withRank = true),
     "q41_search_openvocab" -> refSearchSql("compression encoding decoder", 1000, triplesName(1000), withRank = true),
     "q43_segmented_merge" -> refSearchSql("12 station", 1000, triplesName(1000), withRank = true),

@@ -267,6 +267,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("_salt"), s"salt lanes must be in the join key:\n$plan")
   }
 
+  test("q84 term neighbors: variant equi-join, never a cross product") {
+    val df = SparkEntry.queries("q84_term_neighbors")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion neighborhoods must keep this an equi-join:\n$plan")
+    assert(plan.contains("variant"),
+      s"the variant string must drive the join:\n$plan")
+  }
+
+  test("q85 range join: bucket equi-join, never a nested loop") {
+    val df = SparkEntry.queries("q85_range_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketization must keep this an equi-join:\n$plan")
+    assert(plan.contains("_bucket"),
+      s"the bucket must drive the join:\n$plan")
+  }
+
   test("q75 frontier: per-host window queue, no global sort") {
     val df = SparkEntry.queries("q75_frontier")(spark, sf)
     df.collect()
