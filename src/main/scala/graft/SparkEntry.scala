@@ -83,6 +83,19 @@ object SparkEntry {
         graft.corpus.Corpus.lexicon, parts = searchParts(s)))
   }
 
+  /** A SECOND index over the same n-doc corpus with deliberately small
+    * posting blocks (32 postings), so the block-max WAND path (q86) has
+    * many blocks per term to prune at test scale — the default 4096-posting
+    * blocks hold a whole small-corpus term in one block, where pruning is
+    * vacuous. Cached under the NEGATED doc count (the cache key is
+    * (appId, Int); no positive corpus uses a negative n). */
+  private def wandIndexFor(s: SparkSession, n: Int): graft.index.BuiltIndex = {
+    purgeStoppedSessions(s)
+    indexCache.computeIfAbsent((s.sparkContext.applicationId, -n), _ =>
+      graft.index.IndexBuild.build(s, graft.corpus.Corpus.generate(s, n),
+        graft.corpus.Corpus.lexicon, parts = searchParts(s), blockSize = 32))
+  }
+
   private def searcherFor(s: SparkSession, n: Int): graft.query.Searcher = {
     purgeStoppedSessions(s)
     searcherCache.computeIfAbsent((s.sparkContext.applicationId, n), _ =>
@@ -1382,6 +1395,25 @@ object SparkEntry {
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // ---- DISTRIBUTED block-max WAND batch BM25 (north star verbatim:
+    // "block-max WAND pruning expressed as Dataset operations"): seed-block
+    // θ bound → per-(query,term) block-max prune thresholds → kept-block
+    // lower-bound scoring → exact candidate rescore. Runs over a
+    // small-block (32-posting) build of the SAME corpus so pruning is real
+    // at test scale; results are EXACTLY the exhaustive BM25 the q52
+    // oracle recomputes (block size never changes scores). ----
+    "q86_bm25_blockmax" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      val raw = graft.query.BlockMaxWand.batchBm25WandTopK(
+        s, wandIndexFor(s, n), wandQueries, 10)
+      s.createDataset(raw.collect().toIndexedSeq.map(r =>
+        (r.getInt(0), r.getInt(1), r.getString(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)))
+        .toDF("query_id", "rank", "url", "score")
     })
   )
 
@@ -1410,6 +1442,12 @@ object SparkEntry {
     * the put-overwrite expansion path). */
   private val batchQueries = Seq(
     "galaxy engine search", "prince officer soldier", "running running galaxy")
+
+  /** q86's replay set: the standard batch plus a single-term query (pure
+    * max-score pruning — θ comes from one term's own seed block) and a
+    * wide 4-term query (weakest per-term ubMin — the hard pruning case). */
+  private val wandQueries = batchQueries ++ Seq(
+    "galaxy", "prince galaxy running officer")
 
   /** DuckDB SQL for the batch replay: same scorer algebra as
     * [[refSearchSql]] with a (qid, term, factor, qidx) expansion table and
@@ -1449,8 +1487,9 @@ object SparkEntry {
     * algebra with a (qid, term) expansion table, summed as an ORDERED fold
     * in term-asc order — the engine's pinned accumulation sequence — and
     * ranked per query. */
-  private def batchBm25Sql(k: Int, triplesName: String): String = {
-    val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+  private def batchBm25Sql(k: Int, triplesName: String,
+                           queries: Seq[String] = batchQueries): String = {
+    val vals = queries.zipWithIndex.flatMap { case (q, qi) =>
       graft.query.Searcher.expansionTerms(q).toSet.toSeq.sorted
         .map(t => s"($qi, '$t')")
     }.mkString(", ")
@@ -1999,6 +2038,9 @@ object SparkEntry {
 
     "q39_batch_queries" -> batchSearchSql(1000, triplesName(1000)),
     "q52_batch_bm25" -> batchBm25Sql(10, triplesName(1000)),
+    // q86: the pruned path must equal the exhaustive BM25 verbatim — same
+    // oracle algebra as q52 over the wider replay set
+    "q86_bm25_blockmax" -> batchBm25Sql(10, triplesName(1000), wandQueries),
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same

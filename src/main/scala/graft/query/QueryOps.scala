@@ -337,13 +337,32 @@ object QueryOps {
                           k1: Double = 1.2, b: Double = 0.75): DataFrame =
     batchBm25Core(spark, built, queries, k, k1, b, requireAll = true)
 
+  /** The ONE BM25 per-posting contribution expression (expects columns
+    * `idf`, `tf`, `dl`), shared by the exhaustive batch scorer and the
+    * block-max-pruned [[BlockMaxWand]] so their FP values can never drift —
+    * the pruned path's exactness proof assumes bit-identical contributions. */
+  private[query] def bm25ContribCol(k1: Double, b: Double, avgdl: Double): org.apache.spark.sql.Column =
+    col("idf") * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+
+  /** Per-(query, doc) score = fold of contributions in PINNED term-asc
+    * order (expects `term`, `c`) — immune to partition reassociation;
+    * shared for the same drift-proofing reason as [[bm25ContribCol]]. */
+  private[query] def bm25TermOrderedFold: org.apache.spark.sql.Column =
+    aggregate(sort_array(collect_list(struct(col("term"), col("c")))),
+      lit(0.0d), (acc, x) => acc + x.getField("c"))
+
+  /** The empty (query_id, rank, url, score) frame every batch scorer's
+    * degenerate paths return. */
+  private[query] def emptyTopK(spark: SparkSession): DataFrame = spark.emptyDataFrame
+    .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
+    .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+
   private def batchBm25Core(spark: SparkSession, built: BuiltIndex,
                             queries: Seq[String], k: Int,
                             k1: Double, b: Double, requireAll: Boolean): DataFrame = {
     import spark.implicits._
-    def emptyResult: DataFrame = spark.emptyDataFrame
-      .withColumn("query_id", lit(0)).withColumn("rank", lit(0))
-      .withColumn("url", lit("")).withColumn("score", lit(0.0)).limit(0)
+    def emptyResult: DataFrame = emptyTopK(spark)
 
     // driver-side term rule: disjunctive = [[Searcher.bm25TopK]]'s surface
     // ∪ stems; conjunctive = parsed surface terms only
@@ -393,14 +412,11 @@ object QueryOps {
       .join(idfDf, Seq("term"))
       .join(weightsDf, Seq("term"))
       .select($"query_id", $"doc_id", $"url", $"term",
-        ($"idf" * ($"tf" * lit(k1 + 1)) /
-          ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * $"dl" / lit(avgdl))))
-          .as("c"))
+        bm25ContribCol(k1, b, avgdl).as("c"))
 
     val scoredAll = contrib
       .groupBy($"query_id", $"doc_id", $"url")
-      .agg(aggregate(sort_array(collect_list(struct($"term", $"c"))),
-        lit(0.0d), (acc, x) => acc + x.getField("c")).as("score"),
+      .agg(bm25TermOrderedFold.as("score"),
         count(lit(1)).as("nt"))
     val scored =
       if (requireAll) {
