@@ -1414,7 +1414,14 @@ object SparkEntry {
         (r.getInt(0), r.getInt(1), r.getString(2),
           math.rint(r.getDouble(3) * 1e6) / 1e6)))
         .toDF("query_id", "rank", "url", "score")
-    })
+    }),
+
+    // ---- duplicate-substring SPAN detection (Lee et al. 2022): maximal
+    // token spans covered by corpus-repeated 10-grams, merged with the
+    // gaps-and-islands window; only the rare (doc, pos) hits shuffle — the
+    // text never does. The oracle replays the same gram/merge algebra. ----
+    "q87_dup_spans" -> ((s, d) =>
+      graft.ml.DupSpans.spans(t(s, d, "documents"), "doc_id", "text", n = 10))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2041,6 +2048,32 @@ object SparkEntry {
     // q86: the pruned path must equal the exhaustive BM25 verbatim — same
     // oracle algebra as q52 over the wider replay set
     "q86_bm25_blockmax" -> batchBm25Sql(10, triplesName(1000), wandQueries),
+
+    // q87: identical gram extraction (q62's recipe), corpus-frequency ≥ 2,
+    // and the same equal-length gaps-and-islands merge
+    "q87_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(generate_series(1, len(l) - 9)) AS i, l
+               FROM d WHERE len(l) >= 10),
+         grams AS (SELECT doc_id, i - 1 AS pos,
+                          array_to_string(l[i : i + 9], ' ') AS gram FROM g),
+         dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+         hit AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+         flagged AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                     THEN 1 ELSE 0 END AS new_island
+                FROM hit),
+         isl AS (SELECT doc_id, pos,
+                sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM flagged)
+         SELECT doc_id, min(pos)::INTEGER AS span_start,
+                (max(pos) + 9)::INTEGER AS span_end,
+                (max(pos) + 9 - min(pos) + 1)::INTEGER AS dup_tokens
+         FROM isl GROUP BY doc_id, island""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same

@@ -1,0 +1,67 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-substring SPAN detection — the token-level exact dedup a
+  * training pipeline runs after document-level dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better": substrings
+  * repeated across a corpus are memorization fuel even when no two
+  * DOCUMENTS are duplicates). Finds every maximal token span covered by
+  * n-grams that occur ≥ `minCount` times corpus-wide; downstream either
+  * cuts the spans or drops high-duplication docs.
+  *
+  * Plan shape: positions ride POSEXPLODE of the same codegen'd sliding
+  * n-gram expression the decontamination op uses; the corpus-frequency
+  * count is one map-side-combined groupBy on the gram; the hit join
+  * returns only (doc_id, pos) rows (rare by construction — corpus text
+  * never shuffles); and overlapping hits merge into maximal spans with the
+  * gaps-and-islands window (all intervals share length n, so "overlaps or
+  * touches the previous" is exactly `pos − lag(pos) ≤ n` — no running-max
+  * needed). At web scale the gram-count shuffle keys would be 64-bit gram
+  * hashes instead of the strings (8-byte shuffle keys; a collision merely
+  * over-marks a span) with head-gram salting as in the index build — kept
+  * as strings here because the DuckDB oracle proves exact equality on the
+  * string semantics, and the swap is a one-line key change.
+  */
+object DupSpans {
+
+  private def wordGramsWithPos(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
+    val cnt = size(toks)
+    when(cnt < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), cnt - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Maximal duplicated token spans per document.
+    *
+    * @return (doc_id, span_start, span_end, dup_tokens) — token indices
+    *         0-based inclusive; dup_tokens = span length. Documents with
+    *         no duplicated n-gram emit no rows. */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+            n: Int = 10, minCount: Long = 2): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    require(minCount >= 2, s"minCount < 2 marks every gram, got $minCount")
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(wordGramsWithPos(col(textCol), n)).as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("gram"))
+    val hits = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("_new", when(
+        col("pos") - lag(col("pos"), 1).over(wDoc) > n, 1).otherwise(0))
+      .withColumn("_island",
+        sum(col("_new")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("dup_tokens"))
+  }
+}
