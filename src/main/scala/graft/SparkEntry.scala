@@ -240,6 +240,36 @@ object SparkEntry {
       s" SELECT url, round_even(rank * 1e6, 0) / 1e6 AS rank FROM r$iters"
   }
 
+  /** DuckDB SQL for fixed-iteration personalized PageRank over the dumped
+    * q88 graph: [[pagerankSql]]'s per-iteration shape with the uniform
+    * +0.15 replaced by (1 − 0.85e0)·teleport(v), teleport = 1/|seeds| on
+    * seeds else 0 — literals and operation order match the engine
+    * ((1-damping)*t + coalesce(mass, 0)). */
+  private def personalizedPagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q88_nodes/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/q88_edges/*.parquet')),
+         seeds AS (SELECT DISTINCT url FROM read_parquet('${auxDir}/q88_seeds/*.parquet')),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         live AS (SELECT e.src, e.dst FROM edges e JOIN nodes nn ON e.dst = nn.url),
+         tele AS (SELECT n.url,
+                         CASE WHEN s.url IS NOT NULL
+                              THEN 1.0e0 / (SELECT count(*) FROM seeds)
+                              ELSE 0.0e0 END AS t
+                  FROM nodes n LEFT JOIN seeds s ON n.url = s.url),
+         r0 AS (SELECT url, t AS rank FROM tele)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""", r$i AS (
+         SELECT te.url, (1 - 0.85e0) * te.t + coalesce(s.mass, 0.0e0) AS rank
+         FROM tele te LEFT JOIN (
+           SELECT l.dst AS url, sum(0.85e0 * r.rank / d.outdeg) AS mass
+           FROM live l JOIN r${i - 1} r ON l.src = r.url JOIN deg d ON d.src = l.src
+           GROUP BY l.dst) s ON te.url = s.url)"""
+    }.mkString
+    head + iterCtes +
+      s" SELECT url, round_even(rank * 1e8, 0) / 1e8 AS rank FROM r$iters"
+  }
+
   /** DuckDB SQL for fixed-iteration max-normalized HITS over the dumped
     * link graph: two CTEs per iteration (auth from hubs, hub from auths),
     * each zero-filled over all nodes and divided by its max. */
@@ -1421,7 +1451,28 @@ object SparkEntry {
     // gaps-and-islands window; only the rare (doc, pos) hits shuffle — the
     // text never does. The oracle replays the same gram/merge algebra. ----
     "q87_dup_spans" -> ((s, d) =>
-      graft.ml.DupSpans.spans(t(s, d, "documents"), "doc_id", "text", n = 10))
+      graft.ml.DupSpans.spans(t(s, d, "documents"), "doc_id", "text", n = 10)),
+
+    // ---- personalized PageRank: 0.85-damped walks restarting at a 2-url
+    // seed set over the q32-style link graph, 10 fixed power-iteration
+    // rounds (threshold-free → the unrolled-CTE oracle is exact); the
+    // frontier filter keeps early rounds sparse without changing values ----
+    "q88_personalized_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val nodes = state0.map(_.url).toDF("url")
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      val seeds = nodes
+        .filter(col("url").endsWith("/p/0") || col("url").endsWith("/p/250"))
+      dumpAux(nodes, "q88_nodes")
+      dumpAux(edges, "q88_edges")
+      dumpAux(seeds, "q88_seeds")
+      graft.rank.Personalized.run(s, nodes, edges, seeds, iters = 10)
+        .as[(String, Double)]
+        .map { case (u, r) => (u, math.rint(r * 1e8) / 1e8) }
+        .toDF("url", "rank")
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2074,6 +2125,10 @@ object SparkEntry {
                 (max(pos) + 9)::INTEGER AS span_end,
                 (max(pos) + 9 - min(pos) + 1)::INTEGER AS dup_tokens
          FROM isl GROUP BY doc_id, island""",
+
+    // q88: unrolled fixed-iteration PPR CTEs (q32's recipe + a teleport
+    // vector); literals/op-order mirror the engine expression exactly
+    "q88_personalized_pagerank" -> personalizedPagerankSql(10),
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
