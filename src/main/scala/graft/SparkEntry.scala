@@ -1472,7 +1472,15 @@ object SparkEntry {
         .as[(String, Double)]
         .map { case (u, r) => (u, math.rint(r * 1e8) / 1e8) }
         .toDF("url", "rank")
-    })
+    }),
+
+    // ---- asymmetric containment near-dup pairs (Broder): shared df-capped
+    // 8-grams over min(|A|,|B|) — catches "short doc inside long doc" that
+    // Jaccard (q24) and MinHash (q22) structurally miss ----
+    "q89_containment" -> ((s, d) =>
+      graft.ml.Containment.pairs(t(s, d, "documents"), "doc_id", "text",
+          n = 8, maxGramDf = 50, minContainment = 0.5)
+        .withColumn("containment", round(col("containment"), 6)))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2129,6 +2137,33 @@ object SparkEntry {
     // q88: unrolled fixed-iteration PPR CTEs (q32's recipe + a teleport
     // vector); literals/op-order mirror the engine expression exactly
     "q88_personalized_pagerank" -> personalizedPagerankSql(10),
+
+    // q89: identical gram/df-cap/containment algebra over the documents
+    "q89_containment" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l
+               FROM d WHERE len(l) >= 8),
+         grams AS (SELECT DISTINCT doc_id,
+                          array_to_string(l[i : i + 7], ' ') AS gram FROM g),
+         df AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN df USING (gram)
+                  WHERE df.c <= 50),
+         sizes AS (SELECT doc_id, count(*) AS nk FROM kept GROUP BY doc_id),
+         shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS shared_grams
+                    FROM kept a JOIN kept b USING (gram)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         c AS (SELECT s.doc_a, s.doc_b, s.shared_grams,
+                      na.nk AS n_a, nb.nk AS n_b,
+                      s.shared_grams::DOUBLE / least(na.nk, nb.nk) AS cont
+               FROM shared s JOIN sizes na ON na.doc_id = s.doc_a
+                             JOIN sizes nb ON nb.doc_id = s.doc_b)
+         SELECT doc_a, doc_b, shared_grams, n_a, n_b,
+                round(cont, 6) AS containment
+         FROM c WHERE cont >= 0.5e0""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
