@@ -1480,7 +1480,50 @@ object SparkEntry {
     "q89_containment" -> ((s, d) =>
       graft.ml.Containment.pairs(t(s, d, "documents"), "doc_id", "text",
           n = 8, maxGramDf = 50, minContainment = 0.5)
-        .withColumn("containment", round(col("containment"), 6)))
+        .withColumn("containment", round(col("containment"), 6))),
+
+    // ---- STREAM-STREAM event-time interval join (click attribution):
+    // views and clicks replay as independent file streams in 1-file
+    // micro-batches (forcing real symmetric join state across batches);
+    // INNER join output is batch-equivalent under any slicing, so the
+    // plain batch join IS the oracle ----
+    "q90_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val real = t(s, d, "events")
+      val tsType = real.schema("ts").dataType
+      def dump(tpe: String): String = {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_q90_$tpe")
+        real.filter(c("event_type") === tpe).repartition(3)
+          .write.mode("overwrite").parquet(dir.toString)
+        dir.toString
+      }
+      val (vDir, cDir) = (dump("view"), dump("click"))
+      def stream(dir: String) = s.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      // The replay shuffles rows across files, so an event can arrive a
+      // whole data-span "late" relative to the watermark — size the delay
+      // to the observed span so the replay drops nothing and the batch SQL
+      // oracle is exact. (A live feed would use the feed's real
+      // out-of-orderness bound instead; StreamJoinSpec covers eviction.)
+      val secs = c("ts").cast("timestamp").cast("long") // NTZ can't cast to long directly
+      val span = real.agg(
+          (org.apache.spark.sql.functions.max(secs) -
+           org.apache.spark.sql.functions.min(secs)).as("s"))
+        .head().getLong(0)
+      val name = s"graft_q90_${System.nanoTime()}"
+      val q = graft.streaming.StreamJoin
+        .clickAttribution(stream(vDir), stream(cDir), windowSec = 3600,
+          delay = s"${span + 3601} seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); throw new IllegalStateException("q90 streaming query timed out after 300s") }
+      s.table(name).select(c("imp_id"), c("click_id"), c("user_id"),
+        c("imp_ts").cast(tsType).as("imp_ts"),
+        c("click_ts").cast(tsType).as("click_ts"), c("value"))
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2164,6 +2207,17 @@ object SparkEntry {
          SELECT doc_a, doc_b, shared_grams, n_a, n_b,
                 round(cont, 6) AS containment
          FROM c WHERE cont >= 0.5e0""",
+
+    // q90: the streaming interval join must equal the batch join verbatim
+    "q90_stream_join" ->
+      """WITH v AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts, value
+               FROM events WHERE event_type = 'click')
+         SELECT v.imp_id, c.click_id, v.user_id, v.imp_ts, c.click_ts, c.value
+         FROM v JOIN c USING (user_id)
+         WHERE c.click_ts >= v.imp_ts
+           AND c.click_ts <= v.imp_ts + INTERVAL 3600 SECONDS""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
