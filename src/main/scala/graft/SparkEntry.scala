@@ -1523,6 +1523,70 @@ object SparkEntry {
       s.table(name).select(c("imp_id"), c("click_id"), c("user_id"),
         c("imp_ts").cast(tsType).as("imp_ts"),
         c("click_ts").cast(tsType).as("click_ts"), c("value"))
+    }),
+
+    // ---- streaming exactly-once ingest dedup + chained hourly rollup
+    // (the 4th state primitive: dedup state, and the first chained
+    // stateful pipeline): the replay delivers EVERY file twice
+    // (at-least-once feed) in 1-file micro-batches; the dedup collapses
+    // redeliveries so the oracle is the plain hourly rollup. delay = data
+    // span (replay exactness — a live feed would use its real
+    // redelivery/out-of-orderness bound); a far-future heartbeat file
+    // replayed LAST (later mtime → FileStreamSource order) flushes the
+    // final windows and its own window never emits ----
+    "q91_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val real = t(s, d, "events")
+      val tsType = real.schema("ts").dataType
+      val secs = c("ts").cast("timestamp").cast("long")
+      val Array(mn, mx) = real.agg(
+          org.apache.spark.sql.functions.min(secs),
+          org.apache.spark.sql.functions.max(secs))
+        .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val span = mx - mn
+      val delay = span + 2
+      val dir = java.nio.file.Files.createTempDirectory("graft_q91")
+      val stage = java.nio.file.Files.createTempDirectory("graft_q91_stage")
+      real.select("event_id", "ts", "value").repartition(3)
+        .write.mode("overwrite").parquet(stage.toString)
+      val base = System.currentTimeMillis()
+      var i = 0
+      java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.foreach { f =>
+          Seq("a", "b").foreach { redelivery => // the SAME file twice
+            val dst = dir.resolve(f"feed-$i%03d-$redelivery.parquet")
+            java.nio.file.Files.copy(java.nio.file.Paths.get(f), dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(base))
+          }
+          i += 1
+        }
+      val hbStage = java.nio.file.Files.createTempDirectory("graft_q91_hb")
+      real.limit(1).select(lit(-1L).as("event_id"),
+          (lit(mx + delay + 7200).cast("timestamp")).cast(tsType).as("ts"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(hbStage.toString)
+      val hbFile = java.nio.file.Files.list(hbStage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val hbDst = dir.resolve("zz-heartbeat.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(hbFile), hbDst)
+      java.nio.file.Files.setLastModifiedTime(hbDst,
+        java.nio.file.attribute.FileTime.fromMillis(base + 600_000L))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        s"event_id BIGINT, ts ${tsType.sql}, value DOUBLE")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val name = s"graft_q91_${System.nanoTime()}"
+      val q = graft.streaming.StreamDedup
+        .dedupedHourlyCounts(stream, "event_id", "ts", s"$delay seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) { q.stop(); throw new IllegalStateException("q91 streaming query timed out after 300s") }
+      s.table(name).select(c("hour").cast(tsType).as("hour"), c("cnt"),
+        round(c("sum_value"), 4).as("sum_value"))
     })
   )
 
@@ -2218,6 +2282,13 @@ object SparkEntry {
          FROM v JOIN c USING (user_id)
          WHERE c.click_ts >= v.imp_ts
            AND c.click_ts <= v.imp_ts + INTERVAL 3600 SECONDS""",
+
+    // q91: the at-least-once replay's dedup+rollup must equal the plain
+    // hourly rollup over the exactly-once table
+    "q91_stream_dedup" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+         round(SUM(value), 4) AS sum_value
+         FROM events GROUP BY 1""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
