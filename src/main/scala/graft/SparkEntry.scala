@@ -1587,6 +1587,18 @@ object SparkEntry {
       if (!finished) { q.stop(); throw new IllegalStateException("q91 streaming query timed out after 300s") }
       s.table(name).select(c("hour").cast(tsType).as("hour"), c("cnt"),
         round(c("sum_value"), 4).as("sum_value"))
+    }),
+
+    // ---- per-node triangle counts via the degree-oriented wedge join;
+    // the oracle brute-enumerates ordered triples over the canonical
+    // undirected edges ----
+    "q92_triangles" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(edges, "q92_edges")
+      graft.rank.Triangles.perNode(edges)
     })
   )
 
@@ -2289,6 +2301,23 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
          round(SUM(value), 4) AS sum_value
          FROM events GROUP BY 1""",
+
+    // q92: the oriented wedge join must equal brute ordered-triple
+    // enumeration over the canonical undirected edges
+    "q92_triangles" ->
+      s"""WITH und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM read_parquet('${auxDir}/q92_edges/*.parquet')
+           WHERE src <> dst),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         SELECT node, count(*) AS triangles FROM n GROUP BY 1""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
