@@ -1599,7 +1599,18 @@ object SparkEntry {
         .toDF("src", "dst")
       dumpAux(edges, "q92_edges")
       graft.rank.Triangles.perNode(edges)
-    })
+    }),
+
+    // ---- pivot (long → wide): daily revenue matrix by event type. The
+    // values list is EXPLICIT — at 100 TB `pivot(col)` without values runs
+    // a distinct scan first and then builds however many columns it finds;
+    // pinning the list keeps it one pass and a fixed schema ----
+    "q93_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 4))
+        .orderBy("day"))
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2318,6 +2329,16 @@ object SparkEntry {
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
          SELECT node, count(*) AS triangles FROM n GROUP BY 1""",
+
+    // q93: conditional aggregation is the SQL spelling of the pivot
+    "q93_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+           round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+           round(sum(value) FILTER (event_type = 'error'), 4) AS error,
+           round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+           round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
+           round(sum(value) FILTER (event_type = 'view'), 4) AS view
+         FROM events GROUP BY 1""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
