@@ -1610,7 +1610,21 @@ object SparkEntry {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(round(sum(col("value")), 4))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // ---- Z-order clustering key (OPTIMIZE ... ZORDER BY analog): the
+    // Morton key over (user bucket, hour bucket) that ZOrder.writeZOrdered
+    // clusters files by so footer min/max stats prune on EITHER dimension;
+    // ZOrderSpec proves the file-pruning effect, the oracle pins the
+    // interleave bit-for-bit ----
+    "q94_zorder_key" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val x = col("user_id").bitwiseAND(lit(65535L))
+      val y = floor(col("ts").cast("timestamp").cast("long") / 3600)
+        .cast("long").bitwiseAND(lit(65535L))
+      ev.select(col("event_id"),
+        graft.tables.ZOrder.zKey(x, y, 16).as("zkey"))
+    })
   )
 
   /** Fixed doc ids for the q36 point-lookup (urls → reference row-key hash
@@ -2339,6 +2353,18 @@ object SparkEntry {
            round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
            round(sum(value) FILTER (event_type = 'view'), 4) AS view
          FROM events GROUP BY 1""",
+
+    // q94: identical bit-interleave formula, generated for both engines
+    "q94_zorder_key" -> {
+      val interleave = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT event_id,
+                       user_id & 65535 AS x,
+                       (floor(epoch(ts))::BIGINT // 3600) & 65535 AS y
+                     FROM events)
+         SELECT event_id, $interleave AS zkey FROM b"""
+    },
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
