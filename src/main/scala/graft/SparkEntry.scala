@@ -1624,6 +1624,27 @@ object SparkEntry {
         .cast("long").bitwiseAND(lit(65535L))
       ev.select(col("event_id"),
         graft.tables.ZOrder.zKey(x, y, 16).as("zkey"))
+    }),
+
+    // ---- MERGE INTO analog: one keyed changeset deletes, replaces and
+    // inserts against a committed snapshot table (copy-on-write, old
+    // snapshot stays time-travelable); the oracle replays the same
+    // changeset algebra over the raw documents table ----
+    "q95_table_merge" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q95").toString
+      graft.tables.TableIO.write(base, dir, "append")
+      val changes = base.filter(col("doc_id") % 7 === 3)
+          .withColumn("_op", lit("delete"))
+        .unionByName(base.filter(col("doc_id") % 7 === 4)
+          .select(col("doc_id"), col("lang"), lit(-1L).as("len"),
+            lit("upsert").as("_op")))
+        .unionByName(base.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("new").as("lang"), lit(0L).as("len"), lit("upsert").as("_op")))
+      graft.tables.TableIO.merge(s, dir, changes, "doc_id")
+      graft.tables.TableIO.read(s, dir)
     })
   )
 
@@ -2365,6 +2386,25 @@ object SparkEntry {
                      FROM events)
          SELECT event_id, $interleave AS zkey FROM b"""
     },
+
+    // q95: the committed merge result must equal the changeset algebra
+    // replayed in SQL
+    "q95_table_merge" ->
+      """WITH base AS (SELECT doc_id, lang, length(text)::BIGINT AS len
+                       FROM documents),
+         ch AS (
+           SELECT doc_id, lang, len, 'delete' AS op
+           FROM base WHERE doc_id % 7 = 3
+           UNION ALL
+           SELECT doc_id, lang, -1::BIGINT, 'upsert'
+           FROM base WHERE doc_id % 7 = 4
+           UNION ALL
+           SELECT doc_id + 1000000, 'new', 0::BIGINT, 'upsert'
+           FROM base WHERE doc_id % 100 = 0)
+         SELECT b.doc_id, b.lang, b.len
+         FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
+         UNION ALL
+         SELECT doc_id, lang, len FROM ch WHERE op = 'upsert'""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same

@@ -361,6 +361,44 @@ object TableIO {
     snapId
   }
 
+  /** MERGE INTO analog (copy-on-write, like Delta/Iceberg CoW): applies a
+    * keyed changeset to the current snapshot and commits the result as a
+    * NEW snapshot — the old one stays time-travelable until
+    * [[expireSnapshots]] reclaims it.
+    *
+    * `changes` carries the key column plus an `opCol` of `'upsert'` or
+    * `'delete'`: an upsert row replaces every base row with its key (or
+    * inserts if absent), a delete removes the key. Duplicate keys in one
+    * changeset are refused loudly — "which copy wins" must not depend on
+    * shuffle order.
+    *
+    * Scale shape: one anti-join on the key (base side never collected,
+    * changeset side usually broadcast-size) + a union — the whole table is
+    * rewritten, which is the honest CoW trade. A table whose merges touch
+    * few partitions should instead route through [[writeResumable]], whose
+    * fingerprint lineage rewrites only changed partitions; this entry
+    * point is the keyed-changeset surface on top of the same snapshot log. */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+            keyCol: String, opCol: String = "_op"): Long = {
+    val c = org.apache.spark.sql.functions.col _
+    val ops = changes.select(opCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"unknown ops in changeset: ${(ops -- Set("upsert", "delete")).mkString(", ")}")
+    val dupKeys = changes.groupBy(keyCol)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(c("n") > 1).limit(5).collect().map(_.get(0))
+    require(dupKeys.isEmpty,
+      s"changeset has duplicate keys (shuffle-order-dependent winner): ${dupKeys.mkString(", ")}")
+    val base = read(spark, dir)
+    val survivors = base.join(
+      changes.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    val upserts = changes.filter(c(opCol) === "upsert").drop(opCol)
+      .select(base.columns.map(c).toIndexedSeq: _*)
+    write(survivors.unionByName(upserts), dir, "merge")
+  }
+
   // ------------------------------------------------------------------ helpers
   private def deleteRecursively(root: Path): Unit =
     if (Files.exists(root)) {
