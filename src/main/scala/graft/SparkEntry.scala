@@ -1645,6 +1645,26 @@ object SparkEntry {
             lit("new").as("lang"), lit(0L).as("len"), lit("upsert").as("_op")))
       graft.tables.TableIO.merge(s, dir, changes, "doc_id")
       graft.tables.TableIO.read(s, dir)
+    }),
+
+    // ---- bucketed co-located join: both tables pre-hashed into the same
+    // 16 buckets on the join key, so the fact-to-fact join plans with
+    // ZERO Exchange nodes (required loudly below — the plan shape IS the
+    // operator); the oracle is the plain join ----
+    "q96_bucketed_join" -> ((s, d) => {
+      val tag = math.abs(d.hashCode).toString
+      val (lt, ot) = (s"graft_q96_lineitem_$tag", s"graft_q96_orders_$tag")
+      graft.tables.Bucketing.writeBucketed(
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity"), lt, "l_orderkey", 16)
+      graft.tables.Bucketing.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 16)
+      val joined = graft.tables.Bucketing.bucketedJoin(s, lt, ot,
+        "l_orderkey", "o_orderkey")
+      require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed join must plan without a shuffle")
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
     })
   )
 
@@ -2405,6 +2425,13 @@ object SparkEntry {
          FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
          UNION ALL
          SELECT doc_id, lang, len FROM ch WHERE op = 'upsert'""",
+
+    // q96: the exchange-free bucketed join must equal the plain join
+    "q96_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         round(SUM(l_quantity), 4) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
