@@ -24,6 +24,15 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
                     buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = df.sparkSession
+    // idempotent across SESSIONS, not just within one: the in-memory
+    // catalog dies with the session but the warehouse location doesn't,
+    // and saveAsTable refuses a fresh managed table over a stale dir
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
