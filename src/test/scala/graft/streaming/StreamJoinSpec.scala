@@ -51,8 +51,11 @@ class StreamJoinSpec extends AnyFunSuite {
     def stream(dir: String, schema: org.apache.spark.sql.types.StructType) =
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
     val name = s"sj_${System.nanoTime()}"
+    // delay covers the whole data span: replay file order (mtime ties!)
+    // then can never make a row late, so the batch equivalence is exact
     val q = StreamJoin.clickAttribution(
-        stream(iDir, impDf.schema), stream(cDir, clickDf.schema), windowSec = 600)
+        stream(iDir, impDf.schema), stream(cDir, clickDf.schema), windowSec = 600,
+        delay = "4 hours")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000), "streaming query timed out")
