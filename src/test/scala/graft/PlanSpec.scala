@@ -297,4 +297,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"),
       s"politeness queues must not globally sort the frontier:\n$plan")
   }
+
+  test("q92 triangles: equi-joins only, partial counts, no cartesian") {
+    val df = SparkEntry.queries("q92_triangles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the oriented wedge join must stay an equi-join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-node counts must map-side combine:\n$plan")
+  }
+
+  test("q93 pivot: one pass with partial aggregation, no per-value scans") {
+    val df = SparkEntry.queries("q93_pivot")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"pivot cells must map-side combine:\n$plan")
+    // the pinned value list means NO distinct-scan of event_type first:
+    // exactly one events scan in the FINAL plan (the AQE rendering repeats
+    // the tree under "== Initial Plan ==" — don't double count it)
+    val scans = plan.split("== Initial Plan ==")(0).split('\n').count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans == 1, s"pivot must scan events exactly once, saw $scans:\n$plan")
+  }
+
+  test("q94 z-order key is pure whole-stage-codegen projection — no shuffle") {
+    val df = SparkEntry.queries("q94_zorder_key")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"the key is a narrow map:\n$plan")
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"shift/mask interleave must codegen:\n$plan")
+  }
 }
