@@ -1511,6 +1511,12 @@ object SparkEntry {
            org.apache.spark.sql.functions.min(secs)).as("s"))
         .head().getLong(0)
       val name = s"graft_q90_${System.nanoTime()}"
+      // state-store instances = shuffle partitions PER stateful op PER
+      // micro-batch: size them to the replay's volume, not the batch
+      // suite's core count (the setting is locked into the stream's
+      // checkpoint at start, so set-and-restore around start is safe)
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.StreamJoin
         .clickAttribution(stream(vDir), stream(cDir), windowSec = 3600,
           delay = s"${span + 3601} seconds")
@@ -1518,7 +1524,9 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
+      val finished =
+        try q.awaitTermination(300000)
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       if (!finished) { q.stop(); throw new IllegalStateException("q90 streaming query timed out after 300s") }
       s.table(name).select(c("imp_id"), c("click_id"), c("user_id"),
         c("imp_ts").cast(tsType).as("imp_ts"),
@@ -1577,13 +1585,18 @@ object SparkEntry {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       val name = s"graft_q91_${System.nanoTime()}"
+      // same state-store sizing note as q90
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.StreamDedup
         .dedupedHourlyCounts(stream, "event_id", "ts", s"$delay seconds")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      val finished = q.awaitTermination(300000)
+      val finished =
+        try q.awaitTermination(300000)
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       if (!finished) { q.stop(); throw new IllegalStateException("q91 streaming query timed out after 300s") }
       s.table(name).select(c("hour").cast(tsType).as("hour"), c("cnt"),
         round(c("sum_value"), 4).as("sum_value"))
