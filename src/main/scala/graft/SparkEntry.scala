@@ -1678,6 +1678,35 @@ object SparkEntry {
       joined.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
+
+    // ---- HyperLogLog registers (distinct-user cardinality without a
+    // distinct shuffle — fixed 2^9-row aggregate at any data volume);
+    // the oracle recomputes every register from the same portable hash,
+    // so the CHECK is the registers verbatim, not the estimate ----
+    "q97_hll_registers" -> ((s, d) =>
+      graft.ml.Sketches.hllRegisters(t(s, d, "events"), col("user_id"), p = 9)),
+
+    // ---- Count-Min counter table (per-key frequency without a per-key
+    // groupBy — fixed 4×256 counters); same verbatim-register contract ----
+    "q98_countmin" -> ((s, d) =>
+      graft.ml.Sketches.countMin(t(s, d, "events"), col("user_id"), d = 4, w = 256)
+        .select(col("row").as("hrow"), col("col").as("hcol"), col("cnt"))),
+
+    // ---- SCD-2 page version history: 4 deterministic recrawl
+    // generations of every document (gen g mutates docs whose id divides
+    // g+1) collapse into validity intervals — consecutive identical
+    // fetches merge, reverted content opens a NEW version, the live
+    // version stays open; the oracle replays the same window algebra ----
+    "q99_version_history" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val fetches = (1 to 4).map { g =>
+        doc.select(col("doc_id"), lit(g).as("gen"),
+          when(col("doc_id") % (g + 1) === 0,
+            concat(col("text"), lit("#"), lit(g.toString)))
+            .otherwise(col("text")).as("content"))
+      }.reduce(_.unionByName(_))
+      graft.crawl.VersionHistory.intervals(fetches, "doc_id", "gen", "content")
     })
   )
 
@@ -2445,6 +2474,58 @@ object SparkEntry {
          round(SUM(l_quantity), 4) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+
+    // q97: every HLL register recomputed from the same md5-based 60-bit
+    // hash; rho via a generated bit-test CASE chain (never floating log2)
+    "q97_hll_registers" -> {
+      val w = 60 - 9
+      val rhoCase = (1 to w).map(r =>
+        s"WHEN (rem >> ${w - r}) & 1 = 1 THEN $r").mkString(" ")
+      s"""WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                     FROM events),
+         b AS (SELECT h >> $w AS bucket,
+                      h & ((1::BIGINT << $w) - 1) AS rem FROM h),
+         r AS (SELECT bucket, CASE $rhoCase ELSE ${w + 1} END AS rho FROM b)
+         SELECT bucket, max(rho) AS max_rho FROM r GROUP BY 1"""
+    },
+
+    // q98: every Count-Min counter recomputed from the same affine family
+    // over the Mersenne prime (coefficients inlined from PortableHash)
+    "q98_countmin" -> {
+      val rows = (0 until 4).map(i =>
+        s"SELECT $i AS hrow, (${graft.ml.PortableHash.aOf(i)} * hp + ${graft.ml.PortableHash.bOf(i)}) % 2147483647 % 256 AS hcol FROM h")
+        .mkString(" UNION ALL ")
+      s"""WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                       % 2147483647 AS hp FROM events),
+         rc AS ($rows)
+         SELECT hrow, hcol, count(*) AS cnt FROM rc GROUP BY 1, 2"""
+    },
+
+    // q99: the interval build must equal the same window algebra in SQL
+    "q99_version_history" ->
+      """WITH f AS (
+           SELECT doc_id, i AS gen,
+                  CASE WHEN doc_id % (i + 1) = 0 THEN text || '#' || i
+                       ELSE text END AS content
+           FROM documents CROSS JOIN range(1, 5) t(i)),
+         fp AS (SELECT doc_id, gen::INTEGER AS gen, md5(content) AS fingerprint
+                FROM f),
+         c AS (SELECT *,
+                 CASE WHEN lag(fingerprint) OVER
+                        (PARTITION BY doc_id ORDER BY gen)
+                      IS NOT DISTINCT FROM fingerprint THEN 0 ELSE 1 END AS chg
+               FROM fp),
+         v AS (SELECT *,
+                 sum(chg) OVER (PARTITION BY doc_id ORDER BY gen
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+               FROM c),
+         pv AS (SELECT doc_id, version, min(fingerprint) AS fingerprint,
+                       min(gen) AS valid_from
+                FROM v GROUP BY 1, 2)
+         SELECT doc_id, version, fingerprint, valid_from,
+                lead(valid_from) OVER (PARTITION BY doc_id ORDER BY version)
+                  AS valid_to
+         FROM pv""",
     "q59_conjunctive_bm25" -> conjunctiveBm25Sql(10, triplesName(1000)),
 
     // q60: same probes, same dictionary (triples df ≡ dictionary df), same
