@@ -37,6 +37,39 @@ object SparkEntry {
   private def dumpAux(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").parquet(s"${auxDir}/$name")
 
+  /** Runs a streaming frame to a memory sink with AvailableNow and
+    * returns the sink table. The stream runs at a state-store-sized
+    * shuffle-partition count (state-store instances = shuffle partitions
+    * PER stateful op PER micro-batch — size them to the replay's volume,
+    * not the batch suite's core count; the setting is cloned into the
+    * stream at start). The session conf is restored even if planning or
+    * start() throws, so a failed replay cannot poison later queries. */
+  private def runReplay(s: SparkSession, name: String, out: DataFrame,
+                        parts: Int = 8, timeoutMs: Long = 300000L): DataFrame = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(timeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$name streaming replay timed out after ${timeoutMs / 1000}s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    s.table(name)
+  }
+
+  /** Sorted parquet file paths directly under `dir` — closes the
+    * directory stream (Files.list leaks an fd otherwise). */
+  private def listParquetFiles(dir: java.nio.file.Path): Seq[String] = {
+    val s0 = java.nio.file.Files.list(dir)
+    try s0.toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    finally s0.close()
+  }
+
   /** Single-file KEY-SORTED layout — for tables whose point is row-group
     * min/max pruning of point lookups (q36 pages). A plain coalesce(1) after
     * sortWithinPartitions would concatenate sorted partitions in partition-
@@ -1510,27 +1543,13 @@ object SparkEntry {
           (org.apache.spark.sql.functions.max(secs) -
            org.apache.spark.sql.functions.min(secs)).as("s"))
         .head().getLong(0)
-      val name = s"graft_q90_${System.nanoTime()}"
-      // state-store instances = shuffle partitions PER stateful op PER
-      // micro-batch: size them to the replay's volume, not the batch
-      // suite's core count (the setting is locked into the stream's
-      // checkpoint at start, so set-and-restore around start is safe)
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.StreamJoin
-        .clickAttribution(stream(vDir), stream(cDir), windowSec = 3600,
-          delay = s"${span + 3601} seconds")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished =
-        try q.awaitTermination(300000)
-        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      if (!finished) { q.stop(); throw new IllegalStateException("q90 streaming query timed out after 300s") }
-      s.table(name).select(c("imp_id"), c("click_id"), c("user_id"),
-        c("imp_ts").cast(tsType).as("imp_ts"),
-        c("click_ts").cast(tsType).as("click_ts"), c("value"))
+      runReplay(s, s"graft_q90_${System.nanoTime()}",
+          graft.streaming.StreamJoin.clickAttribution(
+            stream(vDir), stream(cDir), windowSec = 3600,
+            delay = s"${span + 3601} seconds"))
+        .select(c("imp_id"), c("click_id"), c("user_id"),
+          c("imp_ts").cast(tsType).as("imp_ts"),
+          c("click_ts").cast(tsType).as("click_ts"), c("value"))
     }),
 
     // ---- streaming exactly-once ingest dedup + chained hourly rollup
@@ -1559,23 +1578,21 @@ object SparkEntry {
         .write.mode("overwrite").parquet(stage.toString)
       val base = System.currentTimeMillis()
       var i = 0
-      java.nio.file.Files.list(stage).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted.foreach { f =>
-          Seq("a", "b").foreach { redelivery => // the SAME file twice
-            val dst = dir.resolve(f"feed-$i%03d-$redelivery.parquet")
-            java.nio.file.Files.copy(java.nio.file.Paths.get(f), dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(base))
-          }
-          i += 1
+      listParquetFiles(stage).foreach { f =>
+        Seq("a", "b").foreach { redelivery => // the SAME file twice
+          val dst = dir.resolve(f"feed-$i%03d-$redelivery.parquet")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(f), dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base))
         }
+        i += 1
+      }
       val hbStage = java.nio.file.Files.createTempDirectory("graft_q91_hb")
       real.limit(1).select(lit(-1L).as("event_id"),
           (lit(mx + delay + 7200).cast("timestamp")).cast(tsType).as("ts"),
           lit(0.0).as("value"))
         .coalesce(1).write.mode("overwrite").parquet(hbStage.toString)
-      val hbFile = java.nio.file.Files.list(hbStage).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+      val hbFile = listParquetFiles(hbStage).head
       val hbDst = dir.resolve("zz-heartbeat.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(hbFile), hbDst)
       java.nio.file.Files.setLastModifiedTime(hbDst,
@@ -1584,22 +1601,11 @@ object SparkEntry {
         s"event_id BIGINT, ts ${tsType.sql}, value DOUBLE")
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      val name = s"graft_q91_${System.nanoTime()}"
-      // same state-store sizing note as q90
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.StreamDedup
-        .dedupedHourlyCounts(stream, "event_id", "ts", s"$delay seconds")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished =
-        try q.awaitTermination(300000)
-        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      if (!finished) { q.stop(); throw new IllegalStateException("q91 streaming query timed out after 300s") }
-      s.table(name).select(c("hour").cast(tsType).as("hour"), c("cnt"),
-        round(c("sum_value"), 4).as("sum_value"))
+      runReplay(s, s"graft_q91_${System.nanoTime()}",
+          graft.streaming.StreamDedup.dedupedHourlyCounts(
+            stream, "event_id", "ts", s"$delay seconds"))
+        .select(c("hour").cast(tsType).as("hour"), c("cnt"),
+          round(c("sum_value"), 4).as("sum_value"))
     }),
 
     // ---- per-node triangle counts via the degree-oriented wedge join;
@@ -1648,13 +1654,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
       val dir = java.nio.file.Files.createTempDirectory("graft_q95").toString
       graft.tables.TableIO.write(base, dir, "append")
+      // insert keys offset past max(doc_id) so the changeset's key sets
+      // stay disjoint at ANY scale factor (a fixed offset would collide
+      // with real ids once the corpus outgrows it)
+      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val changes = base.filter(col("doc_id") % 7 === 3)
           .withColumn("_op", lit("delete"))
         .unionByName(base.filter(col("doc_id") % 7 === 4)
           .select(col("doc_id"), col("lang"), lit(-1L).as("len"),
             lit("upsert").as("_op")))
         .unionByName(base.filter(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + off).as("doc_id"),
             lit("new").as("lang"), lit(0L).as("len"), lit("upsert").as("_op")))
       graft.tables.TableIO.merge(s, dir, changes, "doc_id")
       graft.tables.TableIO.read(s, dir)
@@ -1665,7 +1675,7 @@ object SparkEntry {
     // ZERO Exchange nodes (required loudly below — the plan shape IS the
     // operator); the oracle is the plain join ----
     "q96_bucketed_join" -> ((s, d) => {
-      val tag = math.abs(d.hashCode).toString
+      val tag = java.lang.Integer.toHexString(d.hashCode)
       val (lt, ot) = (s"graft_q96_lineitem_$tag", s"graft_q96_orders_$tag")
       graft.tables.Bucketing.writeBucketed(
         t(s, d, "lineitem").select("l_orderkey", "l_quantity"), lt, "l_orderkey", 16)
@@ -2461,7 +2471,8 @@ object SparkEntry {
            SELECT doc_id, lang, -1::BIGINT, 'upsert'
            FROM base WHERE doc_id % 7 = 4
            UNION ALL
-           SELECT doc_id + 1000000, 'new', 0::BIGINT, 'upsert'
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM base), 'new',
+                  0::BIGINT, 'upsert'
            FROM base WHERE doc_id % 100 = 0)
          SELECT b.doc_id, b.lang, b.len
          FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)

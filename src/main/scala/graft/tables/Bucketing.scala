@@ -27,10 +27,14 @@ object Bucketing {
     val spark = df.sparkSession
     // idempotent across SESSIONS, not just within one: the in-memory
     // catalog dies with the session but the warehouse location doesn't,
-    // and saveAsTable refuses a fresh managed table over a stale dir
+    // and saveAsTable refuses a fresh managed table over a stale dir.
+    // The location is resolved through the catalog (not warehouse/name
+    // by convention) so a non-default current database still cleans the
+    // right directory.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")

@@ -382,7 +382,7 @@ object TableIO {
             keyCol: String, opCol: String = "_op"): Long = {
     val c = org.apache.spark.sql.functions.col _
     val ops = changes.select(opCol).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>")).toSet
     require(ops.subsetOf(Set("upsert", "delete")),
       s"unknown ops in changeset: ${(ops -- Set("upsert", "delete")).mkString(", ")}")
     val dupKeys = changes.groupBy(keyCol)

@@ -32,8 +32,10 @@ class StreamDedupSpec extends AnyFunSuite {
       rows.map { case (id, sec, v) => (id, ts(sec), v) }
         .toDF("event_id", "ts", "value")
         .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-      val part = java.nio.file.Files.list(sub).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+      val listing = java.nio.file.Files.list(sub)
+      val part =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
       val dst = dir.resolve(f"batch-$i%03d.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
       java.nio.file.Files.setLastModifiedTime(dst,

@@ -51,6 +51,11 @@ class TableMergeSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       TableIO.merge(spark, dir, bad, "id"))
     assert(e2.getMessage.contains("unknown ops"))
+    val nullOp = Seq((1L, "x", null.asInstanceOf[String]))
+      .toDF("id", "body", "_op")
+    val e3 = intercept[IllegalArgumentException](
+      TableIO.merge(spark, dir, nullOp, "id"))
+    assert(e3.getMessage.contains("<null>"))
   }
 
   test("delete of every row commits a readable empty snapshot") {
