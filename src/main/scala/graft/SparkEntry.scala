@@ -45,12 +45,13 @@ object SparkEntry {
     * stream at start). The session conf is restored even if planning or
     * start() throws, so a failed replay cannot poison later queries. */
   private def runReplay(s: SparkSession, name: String, out: DataFrame,
-                        parts: Int = 8, timeoutMs: Long = 300000L): DataFrame = {
+                        parts: Int = 8, timeoutMs: Long = 300000L,
+                        mode: String = "append"): DataFrame = {
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       if (!q.awaitTermination(timeoutMs)) {
@@ -1717,6 +1718,24 @@ object SparkEntry {
             .otherwise(col("text")).as("content"))
       }.reduce(_.unionByName(_))
       graft.crawl.VersionHistory.intervals(fetches, "doc_id", "gen", "content")
+    }),
+
+    // ---- incrementally-maintained HLL: the q97 sketch kept live by a
+    // stream (complete-mode max-aggregation — registers merge by max, so
+    // the final table must be REGISTER-IDENTICAL to the batch sketch;
+    // the oracle is q97's verbatim). This is the sketch+stream
+    // composition a live cardinality dashboard runs: fixed 2^p-row state
+    // forever, regardless of feed volume ----
+    "q100_stream_hll" -> ((s, d) => {
+      val real = t(s, d, "events").select("event_id", "user_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q100")
+      real.repartition(4).write.mode("overwrite").parquet(dir.toString)
+      val stream = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      runReplay(s, s"graft_q100_${System.nanoTime()}",
+        graft.ml.Sketches.hllRegisters(stream, col("user_id"), p = 9),
+        mode = "complete")
     })
   )
 
@@ -2510,6 +2529,20 @@ object SparkEntry {
                        % 2147483647 AS hp FROM events),
          rc AS ($rows)
          SELECT hrow, hcol, count(*) AS cnt FROM rc GROUP BY 1, 2"""
+    },
+
+    // q100: the streaming-maintained sketch must equal the batch
+    // registers verbatim — q97's oracle applies unchanged
+    "q100_stream_hll" -> {
+      val w = 60 - 9
+      val rhoCase = (1 to w).map(r =>
+        s"WHEN (rem >> ${w - r}) & 1 = 1 THEN $r").mkString(" ")
+      s"""WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                     FROM events),
+         b AS (SELECT h >> $w AS bucket,
+                      h & ((1::BIGINT << $w) - 1) AS rem FROM h),
+         r AS (SELECT bucket, CASE $rhoCase ELSE ${w + 1} END AS rho FROM b)
+         SELECT bucket, max(rho) AS max_rho FROM r GROUP BY 1"""
     },
 
     // q99: the interval build must equal the same window algebra in SQL
