@@ -323,6 +323,25 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"pivot must scan events exactly once, saw $scans:\n$plan")
   }
 
+  test("q97 hll: one scan, map-side partial max, no UDF in the plan") {
+    val df = SparkEntry.queries("q97_hll_registers")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"registers must map-side combine:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"the portable hash must stay a built-in expression:\n$plan")
+  }
+
+  test("q98 count-min: partial counts, no UDF") {
+    val df = SparkEntry.queries("q98_countmin")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"counters must map-side combine:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF expected:\n$plan")
+  }
+
   test("q94 z-order key is pure whole-stage-codegen projection — no shuffle") {
     val df = SparkEntry.queries("q94_zorder_key")(spark, sf)
     df.collect()
