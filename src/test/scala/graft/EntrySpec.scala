@@ -26,4 +26,12 @@ class EntrySpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     info(f"entry() produced ${rows.length} rows in $dt%.1fs")
   }
+
+  test("every query has an oracle and every oracle has a query") {
+    // a query without an oracle silently downgrades to the driver's
+    // rows-only check; an orphan oracle is a typo'd name
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"only-queries=${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted}, " +
+        s"only-oracles=${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
+  }
 }
