@@ -1736,6 +1736,28 @@ object SparkEntry {
       runReplay(s, s"graft_q100_${System.nanoTime()}",
         graft.ml.Sketches.hllRegisters(stream, col("user_id"), p = 9),
         mode = "complete")
+    }),
+
+    // ---- WARC segment source (archived-crawl ingestion): the corpus is
+    // serialized to standard WARC/1.0 response records (one segment per
+    // task) and re-read with the distributed Content-Length-driven
+    // parser; the oracle holds the pre-serialization truth, so a header
+    // or length slip mismatches md5/length verbatim ----
+    "q101_warc_roundtrip" -> ((s, _) => {
+      val pages = graft.corpus.Corpus.generate(s, 500).repartition(6)
+      import s.implicits._
+      val truth = pages.map(p => (p.url, graft.sources.Warc.warcDate(p.warc_ts)))
+        .toDF("url", "warc_date")
+        .join(pages.toDF().select(col("url"),
+          length(col("html")).cast("long").as("content_len"),
+          md5(col("html")).as("content_md5")), Seq("url"))
+      dumpAux(truth, "q101_truth")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q101").toString
+      graft.sources.Warc.writeSegments(pages, dir)
+      graft.sources.Warc.read(s, dir)
+        .select(col("url"), col("warc_date"),
+          length(col("html")).cast("long").as("content_len"),
+          md5(col("html")).as("content_md5"))
     })
   )
 
@@ -2530,6 +2552,12 @@ object SparkEntry {
          rc AS ($rows)
          SELECT hrow, hcol, count(*) AS cnt FROM rc GROUP BY 1, 2"""
     },
+
+    // q101: the parsed-back segments must equal the pre-serialization
+    // truth verbatim (the roundtrip through real WARC bytes is the test)
+    "q101_warc_roundtrip" ->
+      s"""SELECT url, warc_date, content_len, content_md5
+         FROM read_parquet('${auxDir}/q101_truth/*.parquet')""",
 
     // q100: the streaming-maintained sketch must equal the batch
     // registers verbatim — q97's oracle applies unchanged
