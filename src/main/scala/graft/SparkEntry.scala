@@ -1758,6 +1758,31 @@ object SparkEntry {
         .select(col("url"), col("warc_date"),
           length(col("html")).cast("long").as("content_len"),
           md5(col("html")).as("content_md5"))
+    }),
+
+    // ---- robots.txt admission filter over the crawl frontier: per-host
+    // Allow/Disallow globs through the GOLDEN reference matcher
+    // (CrawlUrl.ruleToRegex), first matching rule in file order wins,
+    // rules broadcast to the frontier; the oracle replays the join +
+    // arg_min(first-match) over the dumped compiled regexes ----
+    "q102_robots_filter" -> ((s, _) => {
+      import s.implicits._
+      val urlRe = "^http://([^/]+)(/.*)$"
+      val frontier = graft.corpus.Corpus.generate(s, 500).toDF().select(
+          regexp_extract(col("url"), urlRe, 1).as("host"),
+          regexp_extract(col("url"), urlRe, 2).as("path"))
+        .distinct()
+      dumpAux(frontier, "q102_frontier")
+      val hosts = frontier.select("host").distinct().as[String].collect().sorted
+      val ruleRows = hosts.toIndexedSeq.flatMap(h => Seq(
+        (h, 0, "allow", "/p/*2"),     // ...ending in 2: allowed even if /p/1*
+        (h, 1, "disallow", "/p/1*"),  // block the /p/1 prefix otherwise
+        (h, 2, "disallow", "/p/7")))  // exact-path block (anchored: not /p/70)
+      dumpAux(ruleRows.map { case (h, i, t, r) =>
+          (h, i, t, graft.crawl.CrawlUrl.ruleToRegex(r)) }
+        .toDF("host", "idx", "rtype", "regex"), "q102_rules")
+      graft.crawl.RobotsFilter.allowed(
+        frontier, ruleRows.toDF("host", "idx", "rtype", "rule"))
     })
   )
 
@@ -2552,6 +2577,20 @@ object SparkEntry {
          rc AS ($rows)
          SELECT hrow, hcol, count(*) AS cnt FROM rc GROUP BY 1, 2"""
     },
+
+    // q102: first-match-in-file-order decisions replayed over the dumped
+    // compiled regexes (glob→regex itself is golden vs the reference)
+    "q102_robots_filter" ->
+      s"""WITH f AS (SELECT host, path
+                     FROM read_parquet('${auxDir}/q102_frontier/*.parquet')),
+         r AS (SELECT host, idx, rtype, regex
+               FROM read_parquet('${auxDir}/q102_rules/*.parquet')),
+         m AS (SELECT f.host, f.path, arg_min(r.rtype, r.idx) AS first
+               FROM f JOIN r USING (host)
+               WHERE regexp_matches(f.path, r.regex)
+               GROUP BY 1, 2)
+         SELECT f.host, f.path, coalesce(m.first = 'allow', TRUE) AS allowed
+         FROM f LEFT JOIN m USING (host, path)""",
 
     // q101: the parsed-back segments must equal the pre-serialization
     // truth verbatim (the roundtrip through real WARC bytes is the test)
