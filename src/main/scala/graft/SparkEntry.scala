@@ -1783,6 +1783,19 @@ object SparkEntry {
         .toDF("host", "idx", "rtype", "regex"), "q102_rules")
       graft.crawl.RobotsFilter.allowed(
         frontier, ruleRows.toDF("host", "idx", "rtype", "rule"))
+    }),
+
+    // ---- largest-remainder crawl-budget apportionment: a 300-fetch
+    // budget split across hosts proportional to pending counts, summing
+    // to the budget BY CONSTRUCTION (all-integer math the oracle replays
+    // bit-for-bit; remainder ties break host-asc) ----
+    "q103_crawl_budget" -> ((s, _) => {
+      val urlRe = "^http://([^/]+)(/.*)$"
+      val counts = graft.corpus.Corpus.generate(s, 500).toDF()
+        .select(regexp_extract(col("url"), urlRe, 1).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n"))
+      dumpAux(counts, "q103_counts")
+      graft.crawl.Apportion.largestRemainder(counts, "host", "n", budget = 300L)
     })
   )
 
@@ -2591,6 +2604,25 @@ object SparkEntry {
                GROUP BY 1, 2)
          SELECT f.host, f.path, coalesce(m.first = 'allow', TRUE) AS allowed
          FROM f LEFT JOIN m USING (host, path)""",
+
+    // q103: Hamilton apportionment replayed in exact integer SQL
+    "q103_crawl_budget" ->
+      s"""WITH c AS (SELECT host, n
+                     FROM read_parquet('${auxDir}/q103_counts/*.parquet')),
+         t AS (SELECT sum(n)::BIGINT AS total FROM c),
+         b AS (SELECT host, n,
+                      (n * 300) // total AS base,
+                      (n * 300) % total AS rem
+               FROM c CROSS JOIN t),
+         l AS (SELECT 300 - sum(base)::BIGINT AS leftover FROM b),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk
+               FROM b)
+         SELECT host, n, base,
+                CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+                  ::BIGINT AS extra,
+                base + (CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END) AS allocated
+         FROM r""",
 
     // q101: the parsed-back segments must equal the pre-serialization
     // truth verbatim (the roundtrip through real WARC bytes is the test)
