@@ -152,16 +152,21 @@ object SparkEntry {
     * distributed engine does downstream of tokenize. */
   private val dumpedTriples = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def triplesName(n: Int): String = s"triples_$n"
-  private def dumpTriplesOnce(s: SparkSession, n: Int): Unit = {
-    val name = triplesName(n)
-    if (!dumpedTriples.add(s"${auxDir}/$name")) return
+  /** The postings-triples table (url, term, tf) over the n-doc corpus —
+    * the shape the triples-level serving ops (q104 sharded, q106 pruned)
+    * consume and the oracle SQL recomputes from. */
+  private def makeTriples(s: SparkSession, n: Int): DataFrame = {
     import s.implicits._
     val lex = s.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
-    val triples = graft.corpus.Corpus.generate(s, n).flatMap { p =>
+    graft.corpus.Corpus.generate(s, n).flatMap { p =>
       graft.text.Text.postings(p.url, new String(p.html, "UTF-8"), lex.value)
         .map { case (t, tf) => (p.url, t, tf) }
     }.toDF("url", "term", "tf")
-    dumpAux(triples, name)
+  }
+  private def dumpTriplesOnce(s: SparkSession, n: Int): Unit = {
+    val name = triplesName(n)
+    if (!dumpedTriples.add(s"${auxDir}/$name")) return
+    dumpAux(makeTriples(s, n), name)
   }
 
   /** Build (or reuse) the index over an n-doc synthetic corpus and run one
@@ -174,6 +179,17 @@ object SparkEntry {
     val hits = searcher.referenceTopK(query)
     spark.createDataset(hits.zipWithIndex.map { case ((url, score), i) =>
       (i + 1, url, math.rint(score * 1e6) / 1e6)
+    }).toDF("rank", "url", "score")
+  }
+
+  /** Collect a rank-ordered (url, score) serving result (≤ 200 rows by
+    * construction — only result rows transit the driver) and attach
+    * 1-based ranks, scores rounded with the exact math.rint ↔ round_even
+    * pairing the other scorer oracles use. */
+  private def rankRounded(s: SparkSession, hits: DataFrame): DataFrame = {
+    import s.implicits._
+    s.createDataset(hits.collect().toIndexedSeq.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getString(0), math.rint(r.getDouble(1) * 1e6) / 1e6)
     }).toDF("rank", "url", "score")
   }
 
@@ -225,6 +241,43 @@ object SparkEntry {
        $select"""
   }
 
+  /** DuckDB SQL for the reference scorer over a STATICALLY PRUNED index:
+    * per term only the top ⌈frac·count⌉ postings by (tf desc, url asc)
+    * survive, df/max-tf stats FROZEN from the full table (q106 —
+    * [[graft.index.StaticPrune]]'s exact algebra). */
+  private def prunedSearchSql(query: String, n: Int, frac: Double,
+                              triplesName: String): String = {
+    val vals = refTermWeights(query)
+      .map { case (t, f, i) => s"('$t', ${f}e0, $i)" }.mkString(", ")
+    s"""WITH t(term, factor, qidx) AS (VALUES $vals),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
+       dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
+       ranked AS (
+         SELECT url, term, tf,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, url ASC) AS prnk,
+                count(*) OVER (PARTITION BY term) AS cnt
+         FROM tr),
+       pruned AS (SELECT url, term, tf FROM ranked
+                  WHERE prnk <= ceil(${frac}e0 * cnt)),
+       posts AS (
+         SELECT p.url, p.tf, d.df, d.max_tf, t.factor, t.qidx,
+                row_number() OVER (PARTITION BY p.term
+                                   ORDER BY p.tf DESC, p.url ASC) AS rnk
+         FROM pruned p JOIN dict d USING (term) JOIN t USING (term)),
+       scored AS (
+         SELECT url, qidx,
+                (0.4e0 + 0.6e0 * tf / max_tf) * (ln(($n // df)) / ln(500)) * factor AS s
+         FROM posts
+         WHERE rnk <= 200 AND ($n // df) > 1),
+       comb AS (
+         SELECT url, list_reduce(list(s ORDER BY qidx), (a, b) -> a + b) AS score
+         FROM scored GROUP BY url)
+       SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rank, url,
+              round_even(score * 1e6, 0) / 1e6 AS score
+       FROM comb ORDER BY score DESC, url ASC LIMIT 200"""
+  }
+
   /** DuckDB SQL for exhaustive BM25(k1=1.2, b=0.75) over a dumped triples
     * table (the engine's block-max path returns exactly these scores — the
     * finish pass makes early termination score-exact). */
@@ -255,10 +308,13 @@ object SparkEntry {
   /** DuckDB SQL for fixed-iteration PageRank over the dumped link graph:
     * one CTE per iteration (reference algebra: keep-alive, 0.85·rank/outdeg,
     * inner-join dangling drop, +0.15 flat offset). */
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int, nodesTbl: String = "q32_nodes",
+                          edgesTbl: String = "q32_edges",
+                          nodeCol: String = "url",
+                          keyAlias: String = "url"): String = {
     val head =
-      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q32_nodes/*.parquet')),
-         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/q32_edges/*.parquet')),
+      s"""WITH nodes AS (SELECT $nodeCol AS url FROM read_parquet('${auxDir}/$nodesTbl/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/$edgesTbl/*.parquet')),
          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          live AS (SELECT e.src, e.dst FROM edges e JOIN nodes nn ON e.dst = nn.url),
          r0 AS (SELECT url, 1.0e0 AS rank FROM nodes)"""
@@ -271,7 +327,7 @@ object SparkEntry {
            GROUP BY l.dst) s ON n.url = s.url)"""
     }.mkString
     head + iterCtes +
-      s" SELECT url, round_even(rank * 1e6, 0) / 1e6 AS rank FROM r$iters"
+      s" SELECT url AS $keyAlias, round_even(rank * 1e6, 0) / 1e6 AS rank FROM r$iters"
   }
 
   /** DuckDB SQL for fixed-iteration personalized PageRank over the dumped
@@ -1796,6 +1852,76 @@ object SparkEntry {
         .groupBy("host").agg(count(lit(1)).as("n"))
       dumpAux(counts, "q103_counts")
       graft.crawl.Apportion.largestRemainder(counts, "host", "n", budget = 300L)
+    }),
+
+    // ---- document-partitioned sharded serving: 8 shards generate
+    // per-term candidates locally (top-200 in posting order), a merge
+    // re-ranks the union, global df/max-tf stats broadcast — results
+    // must be rank-identical to the UNSHARDED scorer, so the oracle is
+    // q30's own unsharded SQL over the same triples ----
+    "q104_sharded_search" -> ((s, _) => {
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      rankRounded(s, graft.query.ShardedSearch.topK(
+        s, makeTriples(s, n), n, "prince officer soldier", shards = 8))
+    }),
+
+    // ---- host-collapse SERP diversification: at most 2 results per
+    // host survive, re-ranked by the serving tier's original rank ----
+    "q105_diversify" -> ((s, _) => {
+      val base = searchQuery(s, 2000, "galaxy engine search")
+      dumpAux(base, "q105_base")
+      graft.query.Diversify.hostCollapse(base, perHost = 2, k = 20)
+    }),
+
+    // ---- static index pruning: per-term impact prefix (tf desc, url
+    // asc — the scorer's own order) at frac=0.25, stats FROZEN from the
+    // full corpus; the oracle recomputes prune + score from the dumped
+    // triples ----
+    "q106_pruned_search" -> ((s, _) => {
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      rankRounded(s, graft.index.StaticPrune.topK(
+        s, makeTriples(s, n), n, "compression encoding decoder", frac = 0.25))
+    }),
+
+    // ---- host-level PageRank: the link graph collapsed to its host
+    // projection (reference normalizer + extractor, self-loops dropped,
+    // per-host outlink union), then the reference iteration algebra for
+    // a fixed 10 rounds — the oracle unrolls the same 10 iterations
+    // over the dumped host graph ----
+    "q107_host_rank" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.HostRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      dumpAux(state0.map(_.url).toDF("host"), "q107_nodes")
+      dumpAux(state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst"), "q107_edges")
+      val (ranks, _) = graft.rank.HostRank.run(s, state0,
+        threshold = -1.0, percent = 2.0, maxIter = 10)
+      ranks.map(r => (r.url, math.rint(r.rank * 1e6) / 1e6)).toDF("host", "rank")
+    }),
+
+    // ---- query-reformulation mining: consecutive same-user queries
+    // within 60 s and prev ≠ next, counted, count ≥ 2, top-30 — one
+    // user-keyed lag window over a deterministic synthetic query log ----
+    "q108_reformulations" -> ((s, _) => {
+      val pool = Seq("galaxy", "galaxy engine", "running", "running shoes",
+        "prince", "prince officer", "distributed storage", "storage system",
+        "compression", "compression decoder")
+      val poolCol = array(pool.map(lit): _*)
+      val log = s.range(40 * 12).select(
+          (col("id") / 12).cast("long").as("user"),
+          pmod(col("id"), lit(12)).as("i"))
+        .select(col("user"),
+          // strictly increasing per user (jitter < the 50 s stride);
+          // gaps land on both sides of the 60 s reformulation window
+          to_timestamp(from_unixtime(lit(1700000000L) + col("user") * 100000L +
+            col("i") * 50L + pmod(xxhash64(col("user"), col("i")), lit(40)))).as("ts"),
+          element_at(poolCol,
+            (pmod(xxhash64(col("user"), col("i") * 7), lit(pool.size)) + 1)
+              .cast("int")).as("query"))
+      dumpAux(log, "q108_log")
+      graft.query.Reformulations.mine(log, gapSec = 60L, minCount = 2L, k = 30)
     })
   )
 
@@ -2629,6 +2755,55 @@ object SparkEntry {
     "q101_warc_roundtrip" ->
       s"""SELECT url, warc_date, content_len, content_md5
          FROM read_parquet('${auxDir}/q101_truth/*.parquet')""",
+
+    // q104: sharded candidate-generation + merge must be RANK-IDENTICAL
+    // to the unsharded scorer — the oracle is the unsharded reference
+    // SQL over the same dumped triples
+    "q104_sharded_search" ->
+      refSearchSql("prince officer soldier", 2000, triplesName(2000),
+        withRank = true),
+
+    // q105: the host collapse replayed over the dumped base ranking
+    // (window by host in rank order, ≤2 survive, re-ranked, top-20)
+    "q105_diversify" ->
+      s"""WITH b AS (SELECT rank, url, score
+                     FROM read_parquet('${auxDir}/q105_base/*.parquet')),
+         h AS (SELECT *, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
+                           AS host FROM b),
+         k AS (SELECT *, row_number() OVER (PARTITION BY host
+                                            ORDER BY rank) AS hrnk FROM h),
+         s AS (SELECT *, row_number() OVER (ORDER BY rank) AS new_rank
+               FROM k WHERE hrnk <= 2)
+         SELECT new_rank AS rank, url, host, score
+         FROM s WHERE new_rank <= 20""",
+
+    // q106: prune + score replayed from the dumped triples (stats frozen
+    // pre-prune — see prunedSearchSql)
+    "q106_pruned_search" ->
+      prunedSearchSql("compression encoding decoder", 2000, 0.25,
+        triplesName(2000)),
+
+    // q107: the page-level PageRank algebra unrolled 10 iterations over
+    // the dumped HOST graph
+    "q107_host_rank" ->
+      pagerankSql(10, "q107_nodes", "q107_edges", nodeCol = "host",
+        keyAlias = "host"),
+
+    // q108: the lag-window pair mining replayed over the dumped log
+    "q108_reformulations" ->
+      s"""WITH l AS (SELECT "user", ts, query
+                     FROM read_parquet('${auxDir}/q108_log/*.parquet')),
+         p AS (SELECT "user", query,
+                      lag(query) OVER w AS prev,
+                      epoch(ts) - epoch(lag(ts) OVER w) AS gap
+               FROM l WINDOW w AS (PARTITION BY "user" ORDER BY ts)),
+         c AS (SELECT prev, query AS next, count(*)::BIGINT AS cnt
+               FROM p
+               WHERE prev IS NOT NULL AND prev <> query
+                 AND gap > 0 AND gap <= 60
+               GROUP BY 1, 2)
+         SELECT prev, next, cnt FROM c WHERE cnt >= 2
+         ORDER BY cnt DESC, prev ASC, next ASC LIMIT 30""",
 
     // q100: the streaming-maintained sketch must equal the batch
     // registers verbatim — q97's oracle applies unchanged
