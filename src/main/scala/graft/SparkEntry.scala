@@ -1922,6 +1922,75 @@ object SparkEntry {
               .cast("int")).as("query"))
       dumpAux(log, "q108_log")
       graft.query.Reformulations.mine(log, gapSec = 60L, minCount = 2L, k = 30)
+    }),
+
+    // ---- token-budget corpus selection: best-quality prefix within a
+    // 5000-token budget — two-phase distributed prefix sum (range
+    // partitions → one sum row per partition → broadcast offsets), the
+    // oracle is one SQL cumsum window ----
+    "q109_budget_select" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      graft.ml.CorpusSelect.selectByBudget(doc, "doc_id",
+        graft.ml.TextAnalysis.qualityScore(col("text")),
+        graft.ml.TextAnalysis.wsTokenCount(col("text")), budget = 5000L)
+    }),
+
+    // ---- per-source boilerplate strip: a 10-token chrome header is
+    // injected per source (nav/footer template), then lines on ≥ half a
+    // source's docs are stripped FROM THAT SOURCE ONLY ----
+    "q110_boilerplate" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val withChrome = doc.select(col("doc_id"), col("source"),
+        concat_ws(" ",
+          lit("home nav menu about contact terms privacy copyright banner"),
+          col("source"), col("text")).as("text"))
+      graft.ml.Boilerplate.stripSourceBoilerplate(
+        withChrome, "doc_id", "source", "text")
+    }),
+
+    // ---- crawl-trap detection: (host, digit-collapsed path template)
+    // buckets where many urls share one shape and essentially all are
+    // distinct — the synthetic calendar trap ranks first, the corpus's
+    // own /p/N shape follows ----
+    "q111_trap_detect" -> ((s, _) => {
+      val crawled = graft.corpus.Corpus.generate(s, 2000).toDF().select(col("url"))
+      val trap = s.range(400).select(concat(lit("http://trap.example/cal/"),
+        (col("id") / 20).cast("long"), lit("/day/"),
+        pmod(col("id"), lit(20))).as("url"))
+      val urls = crawled.union(trap)
+      dumpAux(urls, "q111_urls")
+      graft.crawl.TrapDetect.urlTemplates(urls, "url", minCount = 100L)
+    }),
+
+    // ---- WARC CDX capture index + ranged point fetch: the distributed
+    // index records each record's (segment, offset, length); five urls
+    // are then point-read at their extents with NO segment scan and must
+    // match the pre-serialization truth byte-for-byte (md5/length) ----
+    "q112_warc_cdx" -> ((s, _) => {
+      import s.implicits._
+      val pages = graft.corpus.Corpus.generate(s, 400).repartition(5)
+      val pick = Seq(3L, 57L, 123L, 250L, 399L)
+        .map(i => graft.corpus.Corpus.urlOf(i, 16))
+      val truth = pages.toDF().filter(col("url").isin(pick: _*))
+        .select(col("url"), length(col("html")).cast("long").as("content_len"),
+          md5(col("html")).as("content_md5"))
+      dumpAux(truth, "q112_truth")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q112").toString
+      val nSegs = graft.sources.Warc.writeSegments(pages, dir)
+      // loud precondition: a transient empty write must fail HERE with a
+      // count, not as an opaque glob miss inside the binaryFile source
+      require(nSegs > 0, s"WARC write produced no segments in $dir")
+      val hits = graft.sources.Warc.cdxIndex(s, dir)
+        .filter(col("url").isin(pick: _*)).collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fetched = hits.toIndexedSeq.map { r =>
+        val (u, _, html) = graft.sources.Warc.fetchAt(
+          dir, r.getString(2), r.getLong(3), r.getLong(4))
+        md.reset()
+        (u, html.length.toLong,
+          md.digest(html).map(b => f"$b%02x").mkString)
+      }
+      s.createDataset(fetched).toDF("url", "content_len", "content_md5")
     })
   )
 
@@ -2788,6 +2857,96 @@ object SparkEntry {
     "q107_host_rank" ->
       pagerankSql(10, "q107_nodes", "q107_edges", nodeCol = "host",
         keyAlias = "host"),
+
+    // q109: the prefix rule as ONE cumsum window (quality desc, doc_id)
+    // over q20's quality algebra — cumsum is monotone, so "inclusive
+    // cumsum <= budget" IS the maximal prefix
+    "q109_budget_select" ->
+      """WITH m AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|was|for|on|that|with|as|it)\b')) AS stopwords,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+             END AS praw,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         q AS (SELECT doc_id, ntok::BIGINT AS n_tokens,
+           round((
+             (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN ntok = 0 THEN 0.0
+                   WHEN stopwords * 1.0 / ntok > 0.05 THEN 1.0
+                   ELSE (stopwords * 1.0 / ntok) * 20 END) +
+             (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END)
+           ) / 3.0, 4) AS quality
+           FROM m),
+         c AS (SELECT doc_id, quality, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+               FROM q)
+         SELECT doc_id, quality, n_tokens, cum::BIGINT AS cum_tokens
+         FROM c WHERE cum <= 5000""",
+
+    // q110: q55's pseudo-line algebra with the injected chrome header and
+    // a PER-SOURCE frequency threshold (>= half the source's docs)
+    "q110_boilerplate" ->
+      """WITH d0 AS (SELECT doc_id, source,
+             'home nav menu about contact terms privacy copyright banner ' ||
+               source || ' ' || text AS text
+           FROM documents),
+         d AS (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\s+') AS l FROM d0),
+         pos AS (SELECT doc_id, source, unnest(generate_series(1, len(l))) AS i, l
+                 FROM d),
+         tok AS (SELECT doc_id, source, i, l[i] AS tok FROM pos WHERE l[i] <> ''),
+         lines AS (SELECT doc_id, source, (i - 1) // 10 AS line_id,
+                          string_agg(tok, ' ' ORDER BY i) AS line
+                   FROM tok GROUP BY doc_id, source, (i - 1) // 10),
+         totals_src AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+                        FROM d0 GROUP BY source),
+         chrome AS (SELECT li.source, li.line
+                    FROM lines li JOIN totals_src t USING (source)
+                    GROUP BY li.source, li.line, t.n_docs
+                    HAVING count(DISTINCT li.doc_id) >= t.n_docs * 0.5),
+         kept AS (SELECT li.* FROM lines li
+                  WHERE NOT EXISTS (SELECT 1 FROM chrome c
+                                    WHERE c.source = li.source AND c.line = li.line)),
+         per_doc AS (SELECT doc_id,
+                            string_agg(line, ' ' ORDER BY line_id) AS clean_text,
+                            count(*) AS n_lines_kept
+                     FROM kept GROUP BY doc_id),
+         totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+         SELECT d0.doc_id,
+                coalesce(p.clean_text, '') AS clean_text,
+                coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+                coalesce(p.n_lines_kept, 0)::BIGINT AS n_lines_kept
+         FROM d0
+         LEFT JOIN totals t USING (doc_id)
+         LEFT JOIN per_doc p USING (doc_id)""",
+
+    // q111: template mining replayed over the dumped url log ('g' flag:
+    // DuckDB replaces first match only by default, Spark replaces all)
+    "q111_trap_detect" ->
+      s"""WITH u AS (SELECT url FROM read_parquet('${auxDir}/q111_urls/*.parquet')),
+         p AS (SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)(/.*)?$$', 1) AS host,
+                      regexp_replace(coalesce(nullif(
+                        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)(/.*)?$$', 2), ''), '/'),
+                        '[0-9]+', 'N', 'g') AS template,
+                      url
+               FROM u WHERE regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)(/.*)?$$', 1) <> ''),
+         g AS (SELECT host, template, count(*)::BIGINT AS n_urls,
+                      count(DISTINCT url)::BIGINT AS n_distinct
+               FROM p GROUP BY 1, 2)
+         SELECT host, template, n_urls, n_distinct FROM g
+         WHERE n_urls >= 100 AND n_distinct >= n_urls * 0.99
+         ORDER BY n_urls DESC, host ASC, template ASC LIMIT 100""",
+
+    // q112: ranged point reads through the CDX extents must reproduce the
+    // pre-serialization truth byte-for-byte
+    "q112_warc_cdx" ->
+      s"""SELECT url, content_len, content_md5
+         FROM read_parquet('${auxDir}/q112_truth/*.parquet')""",
 
     // q108: the lag-window pair mining replayed over the dumped log
     "q108_reformulations" ->

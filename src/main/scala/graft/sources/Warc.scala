@@ -78,10 +78,18 @@ Content-Length: ${html.length}\r
   /** Parses one segment's bytes into (url, warc_date, html) records —
     * Content-Length-sliced, loud on malformed headers. */
   def parseSegment(bytes: Array[Byte]): Iterator[(String, String, Array[Byte])] =
-    new Iterator[(String, String, Array[Byte])] {
+    parseSegmentWithOffsets(bytes).map { case (u, d, h, _, _) => (u, d, h) }
+
+  /** [[parseSegment]] plus each record's byte extent within the segment:
+    * (url, warc_date, html, offset, length) — length spans header +
+    * payload + trailing CRLFCRLF, so `bytes[offset, offset+length)` is one
+    * complete re-parseable record. The extent is what a CDX index stores
+    * (see [[cdxIndex]]/[[fetchAt]]). */
+  def parseSegmentWithOffsets(bytes: Array[Byte]): Iterator[(String, String, Array[Byte], Long, Long)] =
+    new Iterator[(String, String, Array[Byte], Long, Long)] {
       private var off = 0
       override def hasNext: Boolean = off < bytes.length
-      override def next(): (String, String, Array[Byte]) = {
+      override def next(): (String, String, Array[Byte], Long, Long) = {
         val headerEnd = indexOfBlankLine(bytes, off)
         require(headerEnd > off, s"no header terminator at offset $off")
         val header = new String(bytes, off, headerEnd - off, UTF_8)
@@ -95,8 +103,10 @@ Content-Length: ${html.length}\r
         require(payloadStart + len + 4 <= bytes.length,
           s"truncated record at $off: need ${payloadStart + len + 4}, have ${bytes.length}")
         val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)
+        val start = off
         off = payloadStart + len + 4 // past the record's trailing \r\n\r\n
-        (field("WARC-Target-URI"), field("WARC-Date"), payload)
+        (field("WARC-Target-URI"), field("WARC-Date"), payload,
+          start.toLong, (off - start).toLong)
       }
       private def indexOfBlankLine(b: Array[Byte], from: Int): Int = {
         var i = from
@@ -118,5 +128,47 @@ Content-Length: ${html.length}\r
       .as[Array[Byte]]
       .flatMap(parseSegment)
       .toDF("url", "warc_date", "html")
+  }
+
+  /** Builds a CDX-style capture index over a segment directory — the
+    * lookup table Common Crawl publishes next to its segments: one row per
+    * record (url, warc_date, segment filename, offset, length). One task
+    * per segment; record bytes are parsed for headers but only the
+    * INDEX rows (no payloads) leave the task. At archive scale the CDX is
+    * what turns "fetch one url" from a segment scan into [[fetchAt]]'s
+    * single ranged read. */
+  def cdxIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val seg = path.substring(path.lastIndexOf('/') + 1)
+        parseSegmentWithOffsets(bytes).map { case (u, d, _, o, l) => (u, d, seg, o, l) }
+      }
+      .toDF("url", "warc_date", "segment", "offset", "length")
+  }
+
+  /** Point-fetches ONE record by its CDX extent — a single ranged read of
+    * `length` bytes at `offset`, no Spark job, no segment scan (the
+    * archived-crawl analog of the DirectPages mmap tier). */
+  def fetchAt(dir: String, segment: String, offset: Long,
+              length: Long): (String, String, Array[Byte]) = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, segment),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(length.toInt)
+      var pos = offset
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos)
+        require(n > 0, s"truncated read at $segment:$pos")
+        pos += n
+      }
+      val it = parseSegment(buf.array())
+      val rec = it.next()
+      require(!it.hasNext, s"extent $segment:$offset+$length spans >1 record")
+      rec
+    } finally ch.close()
   }
 }

@@ -350,4 +350,40 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
       s"shift/mask interleave must codegen:\n$plan")
   }
+
+  test("q104 sharded serving: per-term weights broadcast, top-k via TakeOrdered, no cartesian") {
+    import spark.implicits._
+    val lex = spark.sparkContext.broadcast(graft.corpus.Corpus.lexicon)
+    val triples = graft.corpus.Corpus.generate(spark, 100).flatMap { p =>
+      graft.text.Text.postings(p.url, new String(p.html, "UTF-8"), lex.value)
+        .map { case (t, tf) => (p.url, t, tf) }
+    }.toDF("url", "term", "tf")
+    val df = graft.query.ShardedSearch.topK(spark, triples, 100,
+      "galaxy engine search", shards = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the term-literal dimension must broadcast onto the postings:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final top-k must never be a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q110 boilerplate: per-source anti-join drop, partial aggs, no cartesian") {
+    val df = SparkEntry.queries("q110_boilerplate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"chrome drop must be an anti join:\n$plan")
+    assert(plan.contains("partial"), s"line counts must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q111 trap detection: partial aggregation, top-k via TakeOrdered") {
+    val df = SparkEntry.queries("q111_trap_detect")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"template counts must map-side combine:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ranked output must never be a global sort:\n$plan")
+  }
 }

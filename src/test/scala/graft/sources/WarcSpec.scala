@@ -59,4 +59,45 @@ class WarcSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Warc.parseSegment(cut).toSeq)
     assert(e.getMessage.contains("truncated"))
   }
+
+  test("CDX extents tile each segment exactly and point-fetch every record byte-exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc-cdx").toString
+    Warc.writeSegments(Corpus.generate(spark, 120).repartition(4), dir)
+    val cdx = Warc.cdxIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(cdx.length == 120)
+    // extents tile: per segment, sorted offsets are contiguous from 0 to
+    // the file size — no gap, no overlap
+    cdx.groupBy(_._3).foreach { case (seg, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"$seg does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"gap/overlap in $seg")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last._4 + last._5 ==
+        java.nio.file.Files.size(java.nio.file.Paths.get(dir, seg)))
+    }
+    // every record point-fetches byte-exact through its extent
+    val want = Corpus.generateLocal(120).map(p => p.url -> p.html).toMap
+    cdx.foreach { case (url, date, seg, off, len) =>
+      val (u, d, html) = Warc.fetchAt(dir, seg, off, len)
+      assert(u == url && d == date)
+      assert(java.util.Arrays.equals(html, want(url)), s"bytes differ for $url")
+    }
+  }
+
+  test("an extent spanning two records is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-cdx2").toString
+    val r1 = Warc.record("http://a/1", ts(1L), "one".getBytes(UTF_8))
+    val r2 = Warc.record("http://a/2", ts(2L), "two".getBytes(UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg.warc"), r1 ++ r2)
+    val e = intercept[IllegalArgumentException](
+      Warc.fetchAt(dir, "seg.warc", 0L, (r1.length + r2.length).toLong))
+    assert(e.getMessage.contains("spans"))
+  }
 }
