@@ -278,6 +278,59 @@ object SparkEntry {
        FROM comb ORDER BY score DESC, url ASC LIMIT 200"""
   }
 
+  /** DuckDB SQL for the PMI-EXPANDED reference scorer (q114 —
+    * [[graft.query.ExpandedSearch]]'s exact algebra): per surface term the
+    * top co-occurring term by the exact rational n_pairs/(df₁·df₂)
+    * (PMI-monotone, IEEE-identical across engines where ranking by ln
+    * itself could flip on a 1-ulp difference), first pick wins on
+    * duplicates, qidx continuing after the base weights; then the
+    * standard scoring body over the UNION weight table. */
+  private def expandedSearchSql(query: String, n: Int, minPairs: Long,
+                                factor: Double, triplesName: String): String = {
+    val base = refTermWeights(query)
+    val vals = base.map { case (t, f, i) => s"('$t', ${f}e0, $i)" }.mkString(", ")
+    val surface = graft.text.Text.parseQuery(query).distinct.filter(_.nonEmpty)
+    val svals = surface.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    val baseIn = base.map(t => s"'${t._1}'").mkString(", ")
+    s"""WITH t0(term, factor, qidx) AS (VALUES $vals),
+       s(qterm, sidx) AS (VALUES $svals),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
+       dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
+       qp AS (SELECT tr.url, s.qterm, s.sidx FROM tr JOIN s ON tr.term = s.qterm),
+       cand AS (SELECT qp.qterm, qp.sidx, tr2.term, count(*)::BIGINT AS n_pairs
+                FROM qp JOIN tr tr2 USING (url)
+                WHERE tr2.term <> qp.qterm AND tr2.term NOT IN ($baseIn)
+                GROUP BY 1, 2, 3 HAVING count(*) >= $minPairs),
+       rk AS (SELECT cand.qterm, cand.sidx, cand.term,
+                     row_number() OVER (PARTITION BY cand.qterm
+                       ORDER BY cand.n_pairs / (c1.df::DOUBLE * c2.df::DOUBLE) DESC,
+                                cand.term ASC) AS rnk
+              FROM cand
+              JOIN dict c1 ON c1.term = cand.qterm
+              JOIN dict c2 ON c2.term = cand.term),
+       pick1 AS (SELECT term, min(sidx) AS sidx FROM rk WHERE rnk = 1 GROUP BY term),
+       picks AS (SELECT term, ${factor}e0 AS factor,
+                        ${base.size} - 1 + row_number() OVER (ORDER BY sidx) AS qidx
+                 FROM pick1),
+       t AS (SELECT * FROM t0 UNION ALL SELECT * FROM picks),
+       posts AS (
+         SELECT tr.url, tr.tf, d.df, d.max_tf, t.factor, t.qidx,
+                row_number() OVER (PARTITION BY tr.term
+                                   ORDER BY tr.tf DESC, tr.url ASC) AS rnk
+         FROM tr JOIN dict d USING (term) JOIN t USING (term)),
+       scored AS (
+         SELECT url, qidx,
+                (0.4e0 + 0.6e0 * tf / max_tf) * (ln(($n // df)) / ln(500)) * factor AS s
+         FROM posts
+         WHERE rnk <= 200 AND ($n // df) > 1),
+       comb AS (
+         SELECT url, list_reduce(list(s ORDER BY qidx), (a, b) -> a + b) AS score
+         FROM scored GROUP BY url)
+       SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rank, url,
+              round_even(score * 1e6, 0) / 1e6 AS score
+       FROM comb ORDER BY score DESC, url ASC LIMIT 200"""
+  }
+
   /** DuckDB SQL for exhaustive BM25(k1=1.2, b=0.75) over a dumped triples
     * table (the engine's block-max path returns exactly these scores — the
     * finish pass makes early termination score-exact). */
@@ -1991,6 +2044,48 @@ object SparkEntry {
           md.digest(html).map(b => f"$b%02x").mkString)
       }
       s.createDataset(fetched).toDF("url", "content_len", "content_md5")
+    }),
+
+    // ---- index-integrity audit (fsck for the inverted index): every
+    // block decoded and checked (delta monotonicity, count, block-max),
+    // dictionary reconciled against the blocks; the oracle recomputes
+    // df/max-tf independently from the tokenizer-truth triples, so drift
+    // in EITHER artifact mismatches ----
+    "q113_index_audit" -> ((s, _) => {
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      graft.index.IndexAudit.audit(builtFor(s, n), k = 100)
+    }),
+
+    // ---- PMI query expansion: each surface term brings its top
+    // co-occurring term (exact-rational ranking, n_pairs >= 5) into the
+    // query at factor 0.5; the oracle recomputes the picks AND the
+    // expanded scoring end-to-end in SQL ----
+    "q114_expanded_search" -> ((s, _) => {
+      val n = 1000
+      dumpTriplesOnce(s, n)
+      rankRounded(s, graft.query.ExpandedSearch.topK(
+        s, makeTriples(s, n), n, "galaxy station"))
+    }),
+
+    // ---- sitemap protocol source: per-partition urlset files written
+    // task-per-file, read back with the distributed tag walk; is_new
+    // marks urls outside the already-crawled set (replayed in SQL from
+    // the url's own page number) ----
+    "q115_sitemap" -> ((s, _) => {
+      import s.implicits._
+      val pages = graft.corpus.Corpus.generate(s, 500).repartition(4)
+      val entries = pages.map(p =>
+        (p.url, graft.sources.Warc.warcDate(p.warc_ts).substring(0, 10)))
+      val truth = entries.toDF("url", "lastmod")
+      dumpAux(truth, "q115_truth")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q115").toString
+      val nFiles = graft.sources.Sitemap.write(entries, dir)
+      require(nFiles > 0, s"sitemap write produced no files in $dir")
+      graft.sources.Sitemap.read(s, dir)
+        .withColumn("is_new",
+          pmod(regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long"),
+            lit(3)) === 0)
     })
   )
 
@@ -2947,6 +3042,26 @@ object SparkEntry {
     "q112_warc_cdx" ->
       s"""SELECT url, content_len, content_md5
          FROM read_parquet('${auxDir}/q112_truth/*.parquet')""",
+
+    // q113: the audit's stored stats must equal stats recomputed from the
+    // tokenizer-truth triples, and every verdict must be true
+    "q113_index_audit" ->
+      s"""SELECT term, count(*)::BIGINT AS df, max(tf)::INTEGER AS max_tf,
+                TRUE AS all_ok
+         FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')
+         GROUP BY term ORDER BY df DESC, term ASC LIMIT 100""",
+
+    // q114: picks + expanded scoring recomputed end-to-end in SQL
+    "q114_expanded_search" ->
+      expandedSearchSql("galaxy station", 1000, 5, 0.5, triplesName(1000)),
+
+    // q115: the parsed-back sitemaps must equal the pre-serialization
+    // truth, with the crawled-set flag recomputed from the url itself
+    "q115_sitemap" ->
+      s"""SELECT url, lastmod,
+                (regexp_extract(url, '/p/([0-9]+)$$', 1)::BIGINT % 3 = 0)
+                  AS is_new
+         FROM read_parquet('${auxDir}/q115_truth/*.parquet')""",
 
     // q108: the lag-window pair mining replayed over the dumped log
     "q108_reformulations" ->

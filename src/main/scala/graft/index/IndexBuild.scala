@@ -209,6 +209,11 @@ object IndexBuild {
     // ser/de boundary per posting row); an 8-byte-key shuffle join beyond
     // the limit
     val idSide = docmap.select($"h", $"doc_id")
+    // NOT persisted, although the range partitioner's sampling job re-runs
+    // this join before the shuffle pass: measured 3-rep interleaved A/B at
+    // local[16] (round 5) put the persisted variant 10-120% SLOWER — the
+    // cache write+read of ~n_postings (long,long) rows costs more than
+    // re-probing the broadcast hash from the already-cached `hashed`
     val keyed = hashed
       .join(if (numDocs <= broadcastDocLimit) broadcast(idSide) else idSide, Seq("h"))
       .select(packKeyCol($"tid", $"tf").as("key"), $"doc_id")
