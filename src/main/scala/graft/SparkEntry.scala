@@ -383,6 +383,35 @@ object SparkEntry {
       s" SELECT url AS $keyAlias, round_even(rank * 1e6, 0) / 1e6 AS rank FROM r$iters"
   }
 
+  /** DuckDB SQL for the WARM-START PageRank chain (q116): `iters1` cold
+    * iterations over edges1 from the flat init, then `iters2` warm
+    * iterations over edges2 seeded from the cold result — the whole chain
+    * recomputed from scratch, no engine state trusted. */
+  private def warmstartSql(iters1: Int, iters2: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q116_nodes/*.parquet')),
+         e1 AS (SELECT src, dst FROM read_parquet('${auxDir}/q116_edges1/*.parquet')),
+         e2 AS (SELECT src, dst FROM read_parquet('${auxDir}/q116_edges2/*.parquet')),
+         deg1 AS (SELECT src, count(*) AS outdeg FROM e1 GROUP BY src),
+         deg2 AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+         live1 AS (SELECT e.src, e.dst FROM e1 e JOIN nodes nn ON e.dst = nn.url),
+         live2 AS (SELECT e.src, e.dst FROM e2 e JOIN nodes nn ON e.dst = nn.url),
+         r0 AS (SELECT url, 1.0e0 AS rank FROM nodes)"""
+    def iterCte(name: String, prev: String, live: String, deg: String) =
+      s""", $name AS (
+         SELECT n.url, coalesce(s.mass, 0.0e0) + 0.15e0 AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT l.dst AS url, sum(0.85e0 * r.rank / d.outdeg) AS mass
+           FROM $live l JOIN $prev r ON l.src = r.url JOIN $deg d ON d.src = l.src
+           GROUP BY l.dst) s ON n.url = s.url)"""
+    val cold = (1 to iters1).map(i =>
+      iterCte(s"r$i", s"r${i - 1}", "live1", "deg1")).mkString
+    val warm = (1 to iters2).map(i =>
+      iterCte(s"w$i", if (i == 1) s"r$iters1" else s"w${i - 1}", "live2", "deg2")).mkString
+    head + cold + warm +
+      s" SELECT url, round_even(rank * 1e6, 0) / 1e6 AS rank FROM w$iters2"
+  }
+
   /** DuckDB SQL for fixed-iteration personalized PageRank over the dumped
     * q88 graph: [[pagerankSql]]'s per-iteration shape with the uniform
     * +0.15 replaced by (1 − 0.85e0)·teleport(v), teleport = 1/|seeds| on
@@ -2086,6 +2115,61 @@ object SparkEntry {
         .withColumn("is_new",
           pmod(regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long"),
             lit(3)) === 0)
+    }),
+
+    // ---- WARM-START (incremental) PageRank: 10 cold iterations on the
+    // crawl's graph, then a deterministic recrawl delta adds edges and 5
+    // warm iterations run seeded from the previous ranks — the oracle
+    // unrolls the full 15-CTE chain (10 cold on edges1, 5 warm on
+    // edges2) from scratch, so the warm algebra is checked end-to-end ----
+    "q116_pagerank_warmstart" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      dumpAux(state0.map(_.url).toDF("url"), "q116_nodes")
+      dumpAux(state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst"), "q116_edges1")
+      val (v1, _) = graft.rank.PageRank.run(s, state0,
+        threshold = -1.0, percent = 2.0, maxIter = 10)
+      val minUrl = state0.map(_.url).toDF("u").agg(min("u")).head().getString(0)
+      val state2 = state0.map { st =>
+        if (st.url.endsWith("1") && st.url != minUrl && !st.links.contains(minUrl))
+          st.copy(links = st.links :+ minUrl)
+        else st
+      }
+      dumpAux(state2.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst"), "q116_edges2")
+      val (v2, iters) = graft.rank.PageRank.warmStart(s, state2, v1,
+        threshold = -1.0, percent = 2.0, maxIter = 5)
+      require(iters == 5, s"warm start must run the fixed 5 rounds, ran $iters")
+      v2.map(r => (r.url, math.rint(r.rank * 1e6) / 1e6)).toDF("url", "rank")
+    }),
+
+    // ---- offline relevance eval: the batch replay joined with a
+    // deterministic judgment set → per-query NDCG@10 + MRR, ordered
+    // position-discounted folds on both sides ----
+    "q117_relevance_eval" -> ((s, _) => {
+      val n = 1000
+      val raw = graft.query.QueryOps.batchReferenceTopK(s, builtFor(s, n),
+          wandQueries, n)
+        .select(col("query_id"), col("rank"), col("url"))
+      dumpAux(raw, "q117_run")
+      val labels = raw.select(col("query_id"), col("url")).distinct()
+        .withColumn("rel",
+          pmod(xxhash64(col("query_id"), col("url")), lit(4)).cast("int"))
+      dumpAux(labels, "q117_labels")
+      graft.query.Eval.ndcgMrr(raw, labels, k = 10, relThreshold = 2)
+    }),
+
+    // ---- co-citation related pages (coupling's dual — pages the same
+    // sources cite together), via the transposed-graph reuse of the one
+    // coupling implementation ----
+    "q118_cocitation" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(edges, "q118_edges")
+      graft.rank.RelatedPages.coCitation(edges, maxOutdegree = 25, k = 20)
     })
   )
 
@@ -3062,6 +3146,58 @@ object SparkEntry {
                 (regexp_extract(url, '/p/([0-9]+)$$', 1)::BIGINT % 3 = 0)
                   AS is_new
          FROM read_parquet('${auxDir}/q115_truth/*.parquet')""",
+
+    // q116: the full cold+warm chain unrolled from scratch
+    "q116_pagerank_warmstart" -> warmstartSql(10, 5),
+
+    // q117: NDCG@10 + MRR replayed over the dumped run + judgments with
+    // the same ordered position-discounted folds
+    "q117_relevance_eval" ->
+      s"""WITH r AS (SELECT query_id, rank, url
+                     FROM read_parquet('${auxDir}/q117_run/*.parquet')
+                     WHERE rank <= 10),
+         l AS (SELECT query_id, url, rel
+               FROM read_parquet('${auxDir}/q117_labels/*.parquet')),
+         j AS (SELECT r.query_id, r.rank, coalesce(l.rel, 0) AS rel
+               FROM r LEFT JOIN l USING (query_id, url)),
+         g AS (SELECT query_id, rank, rel,
+                      ((1::BIGINT << rel) - 1)::DOUBLE AS gain FROM j),
+         agg AS (SELECT query_id,
+                   sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+                   list_reduce(list_prepend(0e0,
+                     list(gain / (ln(rank + 1e0) / ln(2e0)) ORDER BY rank)),
+                     (a, b) -> a + b) AS dcg,
+                   min(CASE WHEN rel >= 2 THEN rank END) AS first_rel,
+                   list(gain ORDER BY gain DESC) AS ig
+                 FROM g GROUP BY query_id),
+         i AS (SELECT query_id,
+                 list_reduce(list_prepend(0e0,
+                   [ig[x] / (ln(x + 1e0) / ln(2e0))
+                    for x in generate_series(1, len(ig))]),
+                   (a, b) -> a + b) AS idcg
+               FROM agg)
+         SELECT a.query_id, a.n_rel,
+                round_even((CASE WHEN i.idcg > 0 THEN a.dcg / i.idcg
+                                 ELSE 0e0 END) * 1e6, 0) / 1e6 AS ndcg,
+                round_even((CASE WHEN a.first_rel IS NOT NULL
+                                 THEN 1e0 / a.first_rel
+                                 ELSE 0e0 END) * 1e6, 0) / 1e6 AS mrr
+         FROM agg a JOIN i USING (query_id)""",
+
+    // q118: coupling's transposed twin — same cap, same pair algebra, on
+    // the shared SOURCE instead of the shared target
+    "q118_cocitation" ->
+      s"""WITH e AS (SELECT DISTINCT src, dst
+                     FROM read_parquet('${auxDir}/q118_edges/*.parquet')),
+         keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 25),
+         ke AS (SELECT e.src, e.dst FROM e JOIN keep USING (src)),
+         pairs AS (SELECT a.dst AS url1, b.dst AS url2,
+                          count(*)::BIGINT AS shared
+                   FROM ke a JOIN ke b
+                     ON a.src = b.src AND a.dst < b.dst
+                   GROUP BY 1, 2)
+         SELECT url1, url2, shared FROM pairs
+         ORDER BY shared DESC, url1 ASC, url2 ASC LIMIT 20""",
 
     // q108: the lag-window pair mining replayed over the dumped log
     "q108_reformulations" ->

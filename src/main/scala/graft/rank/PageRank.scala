@@ -92,6 +92,31 @@ object PageRank {
     (state.map(s => PageRankResult(s.url, s.rank)), cnt)
   }
 
+  /** WARM-START (incremental) iteration — the production recompute after
+    * a recrawl changes the graph: instead of re-converging from the flat
+    * rank=1.0 init, seed the NEW graph's nodes with the previous run's
+    * ranks (nodes new to the graph start at the reference init 1.0) and
+    * iterate the same algebra. PageRank's fixpoint is init-independent,
+    * so a warm start converges in far fewer rounds when the graph delta
+    * is small — at 10¹² pages that is the difference between an hourly
+    * and a daily rank refresh. One url-keyed left join to seed, then the
+    * shared converge loop. */
+  def warmStart(spark: SparkSession, newState: Dataset[RankState],
+                prev: Dataset[PageRankResult], threshold: Double,
+                percent: Double, maxIter: Int = 100,
+                checkpointEvery: Int = 5,
+                checkpointDir: Option[String] = None): (Dataset[PageRankResult], Int) = {
+    import spark.implicits._
+    val seeded = newState.toDF()
+      .join(prev.toDF().select($"url", $"rank".as("_prev_rank")), Seq("url"), "left")
+      .select($"url",
+        coalesce($"_prev_rank", lit(1.0)).as("rank"),
+        coalesce($"_prev_rank", lit(1.0)).as("prev"),
+        $"links")
+      .as[RankState]
+    run(spark, seeded, threshold, percent, maxIter, checkpointEvery, checkpointDir)
+  }
+
   /** Keep-alive + 0.85·rank/outdeg per outlink — one node's contribution
     * rows (reference PageRank.java:90-104), generic over the key type. */
   private def contribsOf[K](key: K, rank: Double, links: Seq[K]): Iterator[(K, Double)] = {

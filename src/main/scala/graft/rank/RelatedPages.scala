@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object RelatedPages {
 
+  /** Co-citation — coupling's dual: two pages are related when the same
+    * SOURCES cite them both (cited together ≙ related, the classic
+    * "people who link to X also link to Y"). Exactly bibliographic
+    * coupling on the TRANSPOSED graph, so the one implementation serves
+    * both: the hub cap becomes a max-OUTDEGREE cap on the citing page (a
+    * page citing everything pairs its targets quadratically with
+    * near-zero signal). Returns (url1, url2, shared) ranked. */
+  def coCitation(edges: DataFrame, maxOutdegree: Int, k: Int): DataFrame =
+    biblioCoupling(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      maxOutdegree, k)
+      .select(col("src1").as("url1"), col("src2").as("url2"), col("shared"))
+
   /** Top-k (src1, src2, shared) pairs, shared desc, src-asc ties. */
   def biblioCoupling(edges: DataFrame, maxIndegree: Int, k: Int): DataFrame = {
     require(maxIndegree > 0 && k > 0, s"bad caps: $maxIndegree, $k")
