@@ -278,6 +278,54 @@ object SparkEntry {
        FROM comb ORDER BY score DESC, url ASC LIMIT 200"""
   }
 
+  /** DuckDB SQL for the CERTIFIED pruned scorer (q119): prunedSearchSql's
+    * algebra plus the drop bound B = qidx-ordered fold of each live
+    * term's highest-impact pruned-away posting score; certified compares
+    * the RAW (pre-rounding) score against B, exactly like the engine. */
+  private def certifiedSearchSql(query: String, n: Int, frac: Double,
+                                 triplesName: String): String = {
+    val vals = refTermWeights(query)
+      .map { case (t, f, i) => s"('$t', ${f}e0, $i)" }.mkString(", ")
+    s"""WITH t(term, factor, qidx) AS (VALUES $vals),
+       tr AS (SELECT * FROM read_parquet('${auxDir}/$triplesName/*.parquet')),
+       dict AS (SELECT term, count(*) AS df, max(tf) AS max_tf FROM tr GROUP BY term),
+       ranked AS (
+         SELECT url, term, tf,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, url ASC) AS prnk,
+                count(*) OVER (PARTITION BY term) AS cnt
+         FROM tr),
+       pruned AS (SELECT url, term, tf FROM ranked
+                  WHERE prnk <= ceil(${frac}e0 * cnt)),
+       tf_drop AS (SELECT term, max(tf) AS tf_drop FROM ranked
+                   WHERE prnk > ceil(${frac}e0 * cnt) GROUP BY term),
+       bound AS (SELECT t.qidx,
+                        (0.4e0 + 0.6e0 * dr.tf_drop / d.max_tf)
+                          * (ln(($n // d.df)) / ln(500)) * t.factor AS bb
+                 FROM t JOIN dict d USING (term) JOIN tf_drop dr USING (term)
+                 WHERE ($n // d.df) > 1),
+       bsum AS (SELECT coalesce(list_reduce(
+                  list_prepend(0e0, list(bb ORDER BY qidx)),
+                  (a, b) -> a + b), 0e0) AS b FROM bound),
+       posts AS (
+         SELECT p.url, p.tf, d.df, d.max_tf, t.factor, t.qidx,
+                row_number() OVER (PARTITION BY p.term
+                                   ORDER BY p.tf DESC, p.url ASC) AS rnk
+         FROM pruned p JOIN dict d USING (term) JOIN t USING (term)),
+       scored AS (
+         SELECT url, qidx,
+                (0.4e0 + 0.6e0 * tf / max_tf) * (ln(($n // df)) / ln(500)) * factor AS s
+         FROM posts
+         WHERE rnk <= 200 AND ($n // df) > 1),
+       comb AS (
+         SELECT url, list_reduce(list(s ORDER BY qidx), (a, b) -> a + b) AS score
+         FROM scored GROUP BY url)
+       SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rank, url,
+              round_even(score * 1e6, 0) / 1e6 AS score,
+              score >= (SELECT b FROM bsum) AS certified
+       FROM comb ORDER BY score DESC, url ASC LIMIT 200"""
+  }
+
   /** DuckDB SQL for the PMI-EXPANDED reference scorer (q114 —
     * [[graft.query.ExpandedSearch]]'s exact algebra): per surface term the
     * top co-occurring term by the exact rational n_pairs/(df₁·df₂)
@@ -2170,6 +2218,40 @@ object SparkEntry {
         .toDF("src", "dst")
       dumpAux(edges, "q118_edges")
       graft.rank.RelatedPages.coCitation(edges, maxOutdegree = 25, k = 20)
+    }),
+
+    // ---- certificate-carrying pruned serving: results from the pruned
+    // index plus the drop-bound exactness certificate (score ≥ B ⇒ no
+    // un-retrieved doc can outrank it) — the safety rail that makes
+    // static pruning deployable ----
+    "q119_certified_pruned" -> ((s, _) => {
+      import s.implicits._
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      val rows = graft.index.StaticPrune.certifiedTopK(
+        s, makeTriples(s, n), n, "running", frac = 0.25).collect()
+      s.createDataset(rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getString(0), math.rint(r.getDouble(1) * 1e6) / 1e6,
+          r.getBoolean(2))
+      }).toDF("rank", "url", "score", "certified")
+    }),
+
+    // ---- redirect-chain resolution by pointer doubling: 16 hops in 4
+    // self-join rounds; chains end on terminals, the crafted cycle's
+    // members report is_terminal = false; the oracle follows the same 16
+    // hops with a recursive CTE ----
+    "q120_redirects" -> ((s, _) => {
+      import s.implicits._
+      val pairs = (0L until 499L)
+        .filter(i => i % 7 == 1 || i % 7 == 2)
+        .map(i => (graft.corpus.Corpus.urlOf(i, 16),
+          graft.corpus.Corpus.urlOf(i + 1, 16))) ++
+        Seq(("http://cyc.example/a", "http://cyc.example/b"),
+          ("http://cyc.example/b", "http://cyc.example/c"),
+          ("http://cyc.example/c", "http://cyc.example/a"))
+      val rmap = pairs.toDF("src", "dst")
+      dumpAux(rmap, "q120_redirects")
+      graft.crawl.Redirects.resolve(rmap, rounds = 4)
     })
   )
 
@@ -3183,6 +3265,29 @@ object SparkEntry {
                                  THEN 1e0 / a.first_rel
                                  ELSE 0e0 END) * 1e6, 0) / 1e6 AS mrr
          FROM agg a JOIN i USING (query_id)""",
+
+    // q119: pruned scoring + the drop-bound certificate, raw-score compare
+    "q119_certified_pruned" ->
+      certifiedSearchSql("running", 2000, 0.25, triplesName(2000)),
+
+    // q120: the same 16 hops followed one at a time by a recursive CTE.
+    // dom needs the EXPLICIT DISTINCT: inside WITH RECURSIVE, DuckDB does
+    // not deduplicate the two-branch UNION spelling here (observed: seed
+    // rows doubled for urls that are both a src and a dst)
+    "q120_redirects" ->
+      s"""WITH RECURSIVE r AS (SELECT src, dst
+                     FROM read_parquet('${auxDir}/q120_redirects/*.parquet')),
+         dom AS (SELECT DISTINCT u FROM
+                   (SELECT src AS u FROM r UNION ALL SELECT dst AS u FROM r)),
+         walk AS (
+           SELECT u, u AS cur, 0 AS h FROM dom
+           UNION ALL
+           SELECT w.u, coalesce(r.dst, w.cur) AS cur, w.h + 1 AS h
+           FROM walk w LEFT JOIN r ON w.cur = r.src
+           WHERE w.h < 16)
+         SELECT u AS src, cur AS resolved,
+                cur NOT IN (SELECT src FROM r) AS is_terminal
+         FROM walk WHERE h = 16""",
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on
     // the shared SOURCE instead of the shared target

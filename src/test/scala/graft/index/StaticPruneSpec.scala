@@ -72,4 +72,27 @@ class StaticPruneSpec extends AnyFunSuite {
     // and the pruned result is a strict subset on this corpus
     assert(pruned.length < full.size)
   }
+
+  test("certified rows provably belong to the FULL-index top set") {
+    val q = "galaxy engine search"
+    val full = graft.query.ShardedSearch.topK(spark, triples, N, q, shards = 1)
+      .collect().map(_.getString(0))
+    val fullSet = full.toSet
+    val rows = StaticPrune.certifiedTopK(spark, triples, N, q, frac = 0.25)
+      .collect()
+    val certified = rows.filter(_.getBoolean(2)).map(_.getString(0))
+    assert(certified.nonEmpty, "expected at least one certified result")
+    certified.foreach(u =>
+      assert(fullSet.contains(u), s"certified $u missing from the true top set"))
+  }
+
+  test("frac=1 drops nothing: B=0, every row certified, result == topK") {
+    val q = "galaxy"
+    val plain = StaticPrune.topK(spark, triples, N, q, frac = 1.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val cert = StaticPrune.certifiedTopK(spark, triples, N, q, frac = 1.0)
+      .collect()
+    assert(cert.map(r => (r.getString(0), r.getDouble(1))).toSeq == plain)
+    assert(cert.forall(_.getBoolean(2)))
+  }
 }
