@@ -2252,6 +2252,28 @@ object SparkEntry {
       val rmap = pairs.toDF("src", "dst")
       dumpAux(rmap, "q120_redirects")
       graft.crawl.Redirects.resolve(rmap, rounds = 4)
+    }),
+
+    // ---- multimodal training-pair assembly: captions equi-joined to
+    // media assets (bytes never shuffle — fingerprints do), caption
+    // quality gate, exact content-pair dedup keeping the smallest id ----
+    "q121_pair_assembly" -> ((s, d) => {
+      val assets = graft.ml.Multimodal.generateAssets(s, 300)
+      dumpAux(assets.toDF().select(col("asset_id"), col("kind"),
+        md5(col("media")).as("media_md5")), "q121_assets")
+      val captions = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      graft.ml.PairAssembly.assemble(captions, assets, minQuality = 0.5)
+    }),
+
+    // ---- size-balanced training-shard assignment: global (tokens desc,
+    // id) rank via the two-phase range-partition prefix pattern, shard =
+    // rank mod S — the data-loader split that keeps data-parallel workers
+    // fed evenly ----
+    "q122_shard_balance" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      graft.ml.ShardBalance.assign(doc, "doc_id",
+        graft.ml.TextAnalysis.wsTokenCount(col("text")), shards = 8)
     })
   )
 
@@ -3288,6 +3310,50 @@ object SparkEntry {
          SELECT u AS src, cur AS resolved,
                 cur NOT IN (SELECT src FROM r) AS is_terminal
          FROM walk WHERE h = 16""",
+
+    // q121: join + gate + content-pair dedup replayed over the dumped
+    // asset fingerprints and q20's quality algebra
+    "q121_pair_assembly" ->
+      raw"""WITH a AS (SELECT asset_id, kind, media_md5
+                     FROM read_parquet('${auxDir}/q121_assets/*.parquet')),
+         m AS (
+           SELECT doc_id, text,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|was|for|on|that|with|as|it)\b')) AS stopwords,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+             END AS praw,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         q AS (SELECT doc_id, text,
+           round((
+             (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN ntok = 0 THEN 0.0
+                   WHEN stopwords * 1.0 / ntok > 0.05 THEN 1.0
+                   ELSE (stopwords * 1.0 / ntok) * 20 END) +
+             (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END)
+           ) / 3.0, 4) AS quality
+           FROM m),
+         caps AS (SELECT doc_id AS cap_id, md5(text) AS caption_md5, quality
+                  FROM q WHERE quality >= 0.5),
+         j AS (SELECT * FROM caps JOIN a ON caps.cap_id = a.asset_id)
+         SELECT min(cap_id) AS pair_id, min(asset_id) AS asset_id,
+                min(kind) AS kind, caption_md5, media_md5,
+                min(quality) AS quality
+         FROM j GROUP BY caption_md5, media_md5""",
+
+    // q122: the round-robin-by-size-rank assignment as one SQL window
+    "q122_shard_balance" ->
+      """WITH w AS (SELECT doc_id,
+                    (CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END)::BIGINT AS weight
+                    FROM documents)
+         SELECT doc_id, weight,
+                ((row_number() OVER (ORDER BY weight DESC, doc_id ASC) - 1)
+                  % 8)::INTEGER AS shard
+         FROM w""",
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on
     // the shared SOURCE instead of the shared target
