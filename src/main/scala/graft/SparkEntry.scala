@@ -2274,6 +2274,28 @@ object SparkEntry {
       val doc = t(s, d, "documents")
       graft.ml.ShardBalance.assign(doc, "doc_id",
         graft.ml.TextAnalysis.wsTokenCount(col("text")), shards = 8)
+    }),
+
+    // ---- host facet counts over a batch SERP: the "results by site"
+    // rollup a search UI renders; the oracle replays the aggregation +
+    // facet ranking over the dumped serving output ----
+    "q123_facets" -> ((s, _) => {
+      val base = Seq("galaxy engine search", "prince officer soldier",
+        "compression encoding decoder").zipWithIndex
+        .map { case (q, i) => searchQuery(s, 2000, q).withColumn("qid", lit(i)) }
+        .reduce(_ unionByName _)
+      dumpAux(base, "q123_serp")
+      graft.query.Facets.hostFacets(base, k = 5)
+        .select("qid", "host", "n_results", "best_rank", "facet_rank")
+    }),
+
+    // ---- deterministic per-epoch corpus shuffle: pos = rank of
+    // md5("epoch:id") within the epoch — reproducible on any engine at
+    // any parallelism, so the oracle recomputes the identical
+    // permutation from documents alone ----
+    "q124_epoch_shuffle" -> ((s, d) => {
+      val doc = t(s, d, "documents").select("doc_id")
+      graft.ml.EpochShuffle.permute(doc, "doc_id", epochs = 3)
     })
   )
 
@@ -3353,6 +3375,39 @@ object SparkEntry {
          SELECT doc_id, weight,
                 ((row_number() OVER (ORDER BY weight DESC, doc_id ASC) - 1)
                   % 8)::INTEGER AS shard
+         FROM w""",
+
+    // q123: the facet rollup + per-query facet ranking replayed over the
+    // dumped batch SERP
+    "q123_facets" ->
+      s"""WITH s AS (SELECT qid, rank, url
+                     FROM read_parquet('${auxDir}/q123_serp/*.parquet')),
+         h AS (SELECT qid,
+                      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
+                        AS host,
+                      rank
+               FROM s),
+         a AS (SELECT qid, host, count(*) AS n_results,
+                      min(rank) AS best_rank
+               FROM h GROUP BY qid, host),
+         r AS (SELECT *,
+                      (row_number() OVER (PARTITION BY qid
+                         ORDER BY n_results DESC, best_rank ASC, host ASC)
+                      )::INTEGER AS facet_rank
+               FROM a)
+         SELECT qid, host, n_results, best_rank, facet_rank
+         FROM r WHERE facet_rank <= 5""",
+
+    // q124: the identical md5-keyed permutation recomputed from documents
+    // alone — no dump needed, the key is content-derived
+    "q124_epoch_shuffle" ->
+      """WITH w AS (SELECT doc_id, epoch
+                    FROM documents
+                    CROSS JOIN (SELECT unnest(range(3)) AS epoch) AS e)
+         SELECT doc_id, epoch::INTEGER AS epoch,
+                (row_number() OVER (PARTITION BY epoch
+                   ORDER BY md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) ASC,
+                            doc_id ASC) - 1)::BIGINT AS pos
          FROM w""",
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on

@@ -25,44 +25,13 @@ object ShardBalance {
   def assign(df: DataFrame, idCol: String, weight: Column,
              shards: Int, parts: Int = 0): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     val narrow = df.select(col(idCol).cast("long").as("id"),
-        weight.cast("long").as("weight"))
-      .repartitionByRange(p, col("weight").desc, col("id").asc)
-      .sortWithinPartitions(col("weight").desc, col("id").asc)
-      .withColumn("pid", spark_partition_id())
-      .as[(Long, Long, Int)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partCounts = narrow.mapPartitions { it =>
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-      var curPid = Int.MinValue; var n = 0L
-      for ((_, _, pid) <- it) {
-        if (pid != curPid) { if (curPid != Int.MinValue) acc += ((curPid, n)); curPid = pid; n = 0L }
-        n += 1
-      }
-      if (curPid != Int.MinValue) acc += ((curPid, n))
-      acc.iterator
-    }.collect().sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      partCounts.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
-    }
-    val ob = spark.sparkContext.broadcast(offsets)
-    val result = narrow.mapPartitions { it =>
-      var curPid = Int.MinValue
-      var rank = 0L
-      it.map { case (id, w, pid) =>
-        if (pid != curPid) { curPid = pid; rank = ob.value.getOrElse(pid, 0L) }
-        val shard = (rank % shards).toInt
-        rank += 1
-        (id, w, shard)
-      }
-    }.toDF(idCol, "weight", "shard")
-      .localCheckpoint()
-    narrow.unpersist()
-    result
+      weight.cast("long").as("weight"))
+    graft.util.GlobalRank
+      .zipWithRank(narrow, Seq(col("weight").desc, col("id").asc),
+        rankCol = "rank", parts = parts)
+      .select(col("id").as(idCol), col("weight"),
+        (col("rank") % shards).cast("int").as("shard"))
   }
 
   /** Per-shard load report: (shard, n_rows, total_weight). */
