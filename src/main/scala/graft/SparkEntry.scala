@@ -2296,6 +2296,15 @@ object SparkEntry {
     "q124_epoch_shuffle" -> ((s, d) => {
       val doc = t(s, d, "documents").select("doc_id")
       graft.ml.EpochShuffle.permute(doc, "doc_id", epochs = 3)
+    }),
+
+    // ---- term-proximity ranking: min token distance between the two
+    // query terms, per doc containing both — positions grouped to one
+    // row per (doc, term) BEFORE the join, linear tagged-merge fold ----
+    "q125_proximity" -> ((s, d) => {
+      val pos = graft.query.PhraseSearch.positions(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.query.Proximity.topK(pos, "scan", "filter", k = 20)
     })
   )
 
@@ -3409,6 +3418,25 @@ object SparkEntry {
                    ORDER BY md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) ASC,
                             doc_id ASC) - 1)::BIGINT AS pos
          FROM w""",
+
+    // q125: the same dense lowercased positions as q67, min pairwise
+    // distance per doc containing both terms (the oracle may join the
+    // raw position pairs — the engine's merged scan must agree)
+    "q125_proximity" ->
+      """WITH d AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS l
+                    FROM documents),
+         tok AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+                 FROM d),
+         p AS (SELECT doc_id, pos, l[pos] AS term FROM tok),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'scan'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'filter'),
+         m AS (SELECT a.doc_id, min(abs(a.pos - b.pos))::INTEGER AS min_dist
+               FROM a JOIN b ON a.doc_id = b.doc_id
+               GROUP BY a.doc_id)
+         SELECT doc_id, min_dist FROM m
+         ORDER BY min_dist ASC, doc_id ASC LIMIT 20""",
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on
     // the shared SOURCE instead of the shared target
