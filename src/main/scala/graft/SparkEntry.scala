@@ -2305,6 +2305,44 @@ object SparkEntry {
       val pos = graft.query.PhraseSearch.positions(
         t(s, d, "documents"), "doc_id", "text")
       graft.query.Proximity.topK(pos, "scan", "filter", k = 20)
+    }),
+
+    // ---- position-bias click model: attractiveness = clicks divided by
+    // examination mass (dyadic bias → bit-identical at any agg order);
+    // the log is deterministic integer math, dumped for the oracle ----
+    "q126_click_model" -> ((s, _) => {
+      import s.implicits._
+      val log = (for { q <- 0 until 20; u <- 0 until 10; ses <- 0 until 25 }
+        yield {
+          val pos = 1 + ((q + u + ses) % 10)
+          val clicked = if ((q * 7919 + u * 104729 + ses * 1299709) % 1000
+            < 900 / pos) 1 else 0
+          (q, s"http://site$u.test/page", pos, clicked)
+        }).toDF("qid", "url", "position", "clicked")
+      dumpAux(log, "q126_log")
+      graft.query.ClickModel.attractiveness(log, minImpressions = 5L)
+    }),
+
+    // ---- BM25F field-weighted ranking: documents split into a
+    // 12-token head field + body, head matches boosted 2× with its own
+    // length normalization; the oracle replays the full BM25F algebra
+    // over the dumped field postings ----
+    "q127_bm25f" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit(""))
+      val fieldTf = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(array(
+          struct(lit("head").as("field"), slice(col("toks"), 1, 12).as("ts")),
+          struct(lit("body").as("field"),
+            slice(col("toks"), 13, 1 << 20).as("ts")))).as("f"))
+        .select(col("doc_id"), col("f.field").as("field"),
+          explode(col("f.ts")).as("term"))
+        .groupBy("doc_id", "field", "term")
+        .agg(count(lit(1)).cast("int").as("tf"))
+      dumpAux(fieldTf, "q127_fieldtf")
+      graft.query.Bm25f.topK(fieldTf, Seq("scan", "filter", "hash"),
+        Map("head" -> (2.0, 0.5), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20)
     })
   )
 
@@ -3437,6 +3475,49 @@ object SparkEntry {
                GROUP BY a.doc_id)
          SELECT doc_id, min_dist FROM m
          ORDER BY min_dist ASC, doc_id ASC LIMIT 20""",
+
+    // q126: the PBM estimate replayed over the dumped click log — the
+    // dyadic (16-p)/16 bias makes the double sums exact, so round_even
+    // lands on the identical 6dp value
+    "q126_click_model" ->
+      s"""WITH l AS (SELECT qid, url, position, clicked
+                     FROM read_parquet('${auxDir}/q126_log/*.parquet')),
+         a AS (SELECT qid, url, count(*)::BIGINT AS impressions,
+                      sum(clicked)::BIGINT AS clicks,
+                      sum((16 - position) / 16.0) AS exam_mass
+               FROM l GROUP BY qid, url)
+         SELECT qid, url, impressions, clicks,
+                round_even(clicks / exam_mass * 1e6, 0) / 1e6 AS attract
+         FROM a WHERE impressions >= 5""",
+
+    // q127: the BM25F algebra replayed verbatim over the dumped field
+    // postings — exact-integer field lengths, one fp division per
+    // average, q31's positive idf
+    "q127_bm25f" ->
+      s"""WITH ft AS (SELECT doc_id, field, term, tf
+                      FROM read_parquet('${auxDir}/q127_fieldtf/*.parquet')),
+         fl AS (SELECT doc_id, field, sum(tf)::BIGINT AS flen
+                FROM ft GROUP BY doc_id, field),
+         av AS (SELECT field, sum(flen)::DOUBLE / count(*) AS a
+                FROM fl GROUP BY field),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM ft),
+         q AS (SELECT * FROM ft WHERE term IN ('scan', 'filter', 'hash')),
+         w1 AS (SELECT q.doc_id, q.term,
+                  (CASE q.field WHEN 'head' THEN 2.0e0 ELSE 1.0e0 END) * q.tf /
+                  (1.0e0 + (CASE q.field WHEN 'head' THEN 0.5e0 ELSE 0.75e0 END)
+                    * (fl.flen / av.a - 1.0e0)) AS wtf1
+                FROM q JOIN fl USING (doc_id, field) JOIN av USING (field)),
+         wt AS (SELECT doc_id, term, sum(wtf1) AS wtf
+                FROM w1 GROUP BY doc_id, term),
+         dict AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM q GROUP BY term),
+         sc AS (SELECT wt.doc_id,
+                  sum(ln((nd.n - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+                    * wt.wtf / (wt.wtf + 1.2e0)) AS raw
+                FROM wt JOIN dict d USING (term) CROSS JOIN nd
+                GROUP BY wt.doc_id)
+         SELECT doc_id, round_even(raw * 1e6, 0) / 1e6 AS score
+         FROM sc ORDER BY raw DESC, doc_id ASC LIMIT 20""",
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on
     // the shared SOURCE instead of the shared target
