@@ -2343,6 +2343,24 @@ object SparkEntry {
       dumpAux(fieldTf, "q127_fieldtf")
       graft.query.Bm25f.topK(fieldTf, Seq("scan", "filter", "hash"),
         Map("head" -> (2.0, 0.5), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20)
+    }),
+
+    // ---- incremental dedup admission: docs <400 are the frozen corpus,
+    // the batch is docs >=400 plus re-crawled copies of docs <20 under
+    // new ids (+1000); bands dumped, the oracle replays bucket-join +
+    // shingle-Jaccard verify + verdict precedence ----
+    "q128_incremental_dedup" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val existing = doc.filter(col("doc_id") < 400).select("doc_id", "text")
+      val incoming = doc.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(doc.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      val bOld = graft.ml.Dedup.minhashBands(existing, "doc_id", "text")
+      val bNew = graft.ml.Dedup.minhashBands(incoming, "doc_id", "text")
+      dumpAux(bOld, "q128_bands_old")
+      dumpAux(bNew, "q128_bands_new")
+      graft.ml.Dedup.incrementalVerdicts(existing.unionByName(incoming),
+        bOld, bNew, "doc_id", "text", threshold = 0.8)
     })
   )
 
@@ -3518,6 +3536,62 @@ object SparkEntry {
                 GROUP BY wt.doc_id)
          SELECT doc_id, round_even(raw * 1e6, 0) / 1e6 AS score
          FROM sc ORDER BY raw DESC, doc_id ASC LIMIT 20""",
+
+    // q128: bucket-join candidates from the dumped bands, q24's shingle
+    // Jaccard over the reconstructed corpora, dup_existing > dup_batch
+    "q128_incremental_dedup" ->
+      s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+                 UNION ALL
+                 SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20),
+         bo AS (SELECT doc_id, band, band_hash
+                FROM read_parquet('${auxDir}/q128_bands_old/*.parquet')),
+         bn AS (SELECT doc_id, band, band_hash
+                FROM read_parquet('${auxDir}/q128_bands_new/*.parquet')),
+         allb AS (SELECT doc_id, band, band_hash, 0 AS side FROM bo
+                  UNION ALL
+                  SELECT doc_id, band, band_hash, 1 AS side FROM bn),
+         ok AS (SELECT band, band_hash FROM allb
+                GROUP BY band, band_hash HAVING count(*) <= 1000),
+         capped AS (SELECT allb.* FROM allb JOIN ok USING (band, band_hash)),
+         crossc AS (SELECT DISTINCT n.doc_id AS id1, o.doc_id AS id2
+                    FROM capped n JOIN capped o USING (band, band_hash)
+                    WHERE n.side = 1 AND o.side = 0),
+         intrac AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                    FROM capped a JOIN capped b USING (band, band_hash)
+                    WHERE a.side = 1 AND b.side = 1 AND a.doc_id < b.doc_id),
+         corpus AS (SELECT * FROM ex UNION ALL SELECT * FROM inc),
+         tok AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS toks
+                 FROM corpus),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                           for i in generate_series(1, len(toks) - 2)])
+                  END AS shs
+                FROM tok),
+         crosshit AS (SELECT DISTINCT c.id1 AS doc_id
+                      FROM crossc c
+                      JOIN sh a ON a.doc_id = c.id1
+                      JOIN sh b ON b.doc_id = c.id2
+                      WHERE len(list_distinct(list_concat(a.shs, b.shs))) > 0
+                        AND len(list_intersect(a.shs, b.shs)) * 1.0
+                            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8),
+         intrahit AS (SELECT DISTINCT c.id2 AS doc_id
+                      FROM intrac c
+                      JOIN sh a ON a.doc_id = c.id1
+                      JOIN sh b ON b.doc_id = c.id2
+                      WHERE len(list_distinct(list_concat(a.shs, b.shs))) > 0
+                        AND len(list_intersect(a.shs, b.shs)) * 1.0
+                            / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8)
+         SELECT i.doc_id,
+                CASE WHEN ch.doc_id IS NOT NULL THEN 'dup_existing'
+                     WHEN ih.doc_id IS NOT NULL THEN 'dup_batch'
+                     ELSE 'kept' END AS verdict
+         FROM inc i
+         LEFT JOIN crosshit ch ON i.doc_id = ch.doc_id
+         LEFT JOIN intrahit ih ON i.doc_id = ih.doc_id""",
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on
     // the shared SOURCE instead of the shared target

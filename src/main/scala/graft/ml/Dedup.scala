@@ -132,6 +132,57 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Incremental near-dup ADMISSION — the ingest-time twin of batch dedup:
+    * a frozen already-deduplicated corpus grows by one crawl batch, and
+    * each incoming doc must be admitted or rejected WITHOUT re-deduping
+    * the corpus. Verdict per incoming doc:
+    *   - `dup_existing` — verified near-dup of a frozen-corpus doc
+    *   - `dup_batch`    — verified near-dup of a SMALLER-ID incoming doc
+    *                      (greedy; use [[connectedComponents]] when exact
+    *                      cluster structure matters)
+    *   - `kept`         — admitted
+    * `dup_existing` wins when both apply. Ids must be globally unique
+    * across the two corpora.
+    *
+    * Scale shape: bands for the frozen corpus are computed ONCE and
+    * persisted by the caller (the whole point of incrementality — only
+    * the batch is re-signed); buckets are capped across the UNION of both
+    * band sets (a bucket quadratic across old×new is as degenerate as one
+    * within either); candidate shuffles carry (id, bucket) only; text is
+    * joined back for verified candidates alone. */
+  def incrementalVerdicts(texts: DataFrame, bandsExisting: DataFrame,
+                          bandsIncoming: DataFrame, idCol: String,
+                          textCol: String, threshold: Double = 0.8,
+                          k: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    def side(bands: DataFrame, s: Int) =
+      bands.select(col(idCol), col("band"), col("band_hash"))
+        .withColumn("side", lit(s))
+    val capped = capBuckets(side(bandsExisting, 0).unionByName(side(bandsIncoming, 1)),
+      Seq("band", "band_hash"), maxBucket)
+    val olds = capped.filter(col("side") === 0)
+    val news = capped.filter(col("side") === 1)
+    val cross = news.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+      .join(olds.select(col(idCol).as("id2"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("id1", "id2").distinct()
+    val intra = news.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+      .join(news.select(col(idCol).as("id2"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val crossHit = jaccardVerify(texts, cross, idCol, textCol, k, threshold)
+      .select(col("id1").as(idCol)).distinct().withColumn("ce", lit(1))
+    val intraHit = jaccardVerify(texts, intra, idCol, textCol, k, threshold)
+      .select(col("id2").as(idCol)).distinct().withColumn("ie", lit(1))
+    bandsIncoming.select(col(idCol)).distinct()
+      .join(crossHit, Seq(idCol), "left")
+      .join(intraHit, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("ce") === 1, "dup_existing")
+          .when(col("ie") === 1, "dup_batch")
+          .otherwise("kept").as("verdict"))
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs: joins text back
     * for CANDIDATES only (the scale-critical property). */
   def jaccardVerify(df: DataFrame, candidates: DataFrame, idCol: String,
