@@ -2361,6 +2361,17 @@ object SparkEntry {
       dumpAux(bNew, "q128_bands_new")
       graft.ml.Dedup.incrementalVerdicts(existing.unionByName(incoming),
         bOld, bNew, "doc_id", "text", threshold = 0.8)
+    }),
+
+    // ---- HLL sketch rollup: per-day register tables merged to one
+    // global table by register-wise max — LOSSLESS by the sketch
+    // property, so the oracle recomputes registers from all raw events
+    // directly and must match verbatim ----
+    "q129_hll_merge" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      val daily = graft.ml.Sketches.hllRegistersBy(
+        ev, Seq("day"), col("user_id"), p = 8)
+      graft.ml.Sketches.hllMerge(daily, Nil)
     })
   )
 
@@ -3592,6 +3603,20 @@ object SparkEntry {
          FROM inc i
          LEFT JOIN crosshit ch ON i.doc_id = ch.doc_id
          LEFT JOIN intrahit ih ON i.doc_id = ih.doc_id""",
+
+    // q129: merged daily registers must equal registers over ALL events —
+    // q97's replay at p=8 (rho via the bit-test CASE chain)
+    "q129_hll_merge" -> {
+      val w = 60 - 8
+      val rhoCase = (1 to w).map(r =>
+        s"WHEN (rem >> ${w - r}) & 1 = 1 THEN $r").mkString(" ")
+      s"""WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                     FROM events),
+         b AS (SELECT h >> $w AS bucket,
+                      h & ((1::BIGINT << $w) - 1) AS rem FROM h),
+         r AS (SELECT bucket, CASE $rhoCase ELSE ${w + 1} END AS rho FROM b)
+         SELECT bucket, max(rho) AS max_rho FROM r GROUP BY 1"""
+    },
 
     // q118: coupling's transposed twin — same cap, same pair algebra, on
     // the shared SOURCE instead of the shared target

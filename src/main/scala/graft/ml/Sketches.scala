@@ -33,7 +33,14 @@ object Sketches {
     * rho = 1-based position of the first set bit in the remaining
     * (60-p) bits (61-p if they are all zero). Returns one row per
     * NON-EMPTY bucket: (bucket, max_rho); absent buckets mean rho 0. */
-  def hllRegisters(df: DataFrame, item: Column, p: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, item: Column, p: Int): DataFrame =
+    hllRegistersBy(df, Nil, item, p)
+
+  /** One register table PER KEY GROUP: (keys…, bucket, max_rho) — e.g. one
+    * HLL per day/source/shard. Pair with [[hllMerge]] to roll groups up
+    * without touching the raw data again. */
+  def hllRegistersBy(df: DataFrame, keys: Seq[String], item: Column,
+                     p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
     val w = 60 - p
     val h = h60(item)
@@ -42,8 +49,20 @@ object Sketches {
     val rho = (1 to w).foldLeft(when(lit(false), lit(0))) { (acc, r) =>
         acc.when(shiftright(rem, w - r).bitwiseAND(lit(1L)) === 1L, lit(r))
       }.otherwise(lit(w + 1)).as("rho")
-    df.select(bucket, rho).groupBy("bucket").agg(max("rho").as("max_rho"))
+    df.select(keys.map(col) :+ bucket :+ rho: _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max("rho").as("max_rho"))
   }
+
+  /** Merge register tables down to `keys` (e.g. daily → monthly, or all
+    * the way to a single global table with `keys = Nil`): elementwise max
+    * per bucket. This is THE sketch property that makes HLL the 100-TB
+    * distinct counter — registers of a union are EXACTLY the max of the
+    * parts' registers, so partitioned sketches roll up losslessly with a
+    * register-sized (≤ 2^p per group) shuffle, never re-reading raw data. */
+  def hllMerge(registers: DataFrame, keys: Seq[String]): DataFrame =
+    registers.groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
 
   /** Standard HLL estimate from [[hllRegisters]] output (driver-side over
     * ≤ 2^p rows): bias-corrected harmonic mean with the linear-counting

@@ -60,6 +60,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("grouped registers roll up losslessly: hllMerge(by-group) == whole") {
+    import spark.implicits._
+    val df = (1 to 6000).map(i => (s"g${i % 3}", s"item-${i % 2000}"))
+      .toDF("g", "x")
+    val byGroup = Sketches.hllRegistersBy(df, Seq("g"), col("x"), 8)
+    assert(byGroup.select("g").distinct().count() == 3)
+    val merged = Sketches.hllMerge(byGroup, Nil)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketches.hllRegisters(df, col("x"), 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == whole)
+    // partial rollup keeps the kept key and stays a valid register table
+    val kept = Sketches.hllMerge(byGroup.withColumn("month", lit("m1")),
+      Seq("month"))
+    assert(kept.columns.toSeq == Seq("month", "bucket", "max_rho"))
+    assert(kept.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap == whole)
+  }
+
   test("count-min: estimate >= truth, tight for a heavy key, merges by sum") {
     import spark.implicits._
     // zipf-ish: key-1 appears 1000x, key-k appears 1000/k times
