@@ -382,6 +382,42 @@ object SparkEntry {
   /** DuckDB SQL for exhaustive BM25(k1=1.2, b=0.75) over a dumped triples
     * table (the engine's block-max path returns exactly these scores — the
     * finish pass makes early termination score-exact). */
+  /** DuckDB replay of [[graft.query.Bm25f]]'s exact algebra over a dumped
+    * (doc_id, field, term, tf) table — shared by every BM25F query so the
+    * oracle and the engine can't drift field by field. */
+  private def bm25fSql(dumpName: String, terms: Seq[String],
+                       weights: Map[String, (Double, Double)],
+                       k1: Double, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    def caseOf(sel: ((Double, Double)) => Double): String =
+      "CASE q.field " + weights.toSeq.sortBy(_._1)
+        .map { case (f, wb) => s"WHEN '$f' THEN ${sel(wb)}e0" }
+        .mkString(" ") + " END"
+    s"""WITH ft AS (SELECT doc_id, field, term, tf
+                    FROM read_parquet('${auxDir}/$dumpName/*.parquet')),
+       fl AS (SELECT doc_id, field, sum(tf)::BIGINT AS flen
+              FROM ft GROUP BY doc_id, field),
+       av AS (SELECT field, sum(flen)::DOUBLE / count(*) AS a
+              FROM fl GROUP BY field),
+       nd AS (SELECT count(DISTINCT doc_id) AS n FROM ft),
+       q AS (SELECT * FROM ft WHERE term IN ($inList)),
+       w1 AS (SELECT q.doc_id, q.term,
+                ${caseOf(_._1)} * q.tf /
+                (1.0e0 + ${caseOf(_._2)} * (fl.flen / av.a - 1.0e0)) AS wtf1
+              FROM q JOIN fl USING (doc_id, field) JOIN av USING (field)),
+       wt AS (SELECT doc_id, term, sum(wtf1) AS wtf
+              FROM w1 GROUP BY doc_id, term),
+       dict AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM q GROUP BY term),
+       sc AS (SELECT wt.doc_id,
+                sum(ln((nd.n - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+                  * wt.wtf / (wt.wtf + ${k1}e0)) AS raw
+              FROM wt JOIN dict d USING (term) CROSS JOIN nd
+              GROUP BY wt.doc_id)
+       SELECT doc_id, round_even(raw * 1e6, 0) / 1e6 AS score
+       FROM sc ORDER BY raw DESC, doc_id ASC LIMIT $k"""
+  }
+
   private def bm25Sql(query: String, k: Int, triplesName: String): String = {
     val terms = graft.text.Text.parseQuery(query).toSet
       .flatMap((t: String) => Set(t, graft.text.PorterStemmer.stem(t)))
@@ -2372,6 +2408,39 @@ object SparkEntry {
       val daily = graft.ml.Sketches.hllRegistersBy(
         ev, Seq("day"), col("user_id"), p = 8)
       graft.ml.Sketches.hllMerge(daily, Nil)
+    }),
+
+    // ---- BM25F over REAL web fields: anchor terms harvested from OTHER
+    // documents' links (rank pages for words they never contain) + the
+    // tag-stripped body; same Bm25f algebra, same generated oracle ----
+    "q130_bm25f_anchor" -> ((s, _) => {
+      dumpPagesOnce(s, 500L)
+      val pages = s.read.parquet(s"${auxDir}/q36_pages")
+        .select(col("url"), col("html"))
+      val linkPat = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+      def toks(c: org.apache.spark.sql.Column) =
+        filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+      val anchorTf = pages.select(col("url").as("src"),
+          regexp_extract_all(col("html"), lit(linkPat), lit(1)).as("hrefs"),
+          regexp_extract_all(col("html"), lit(linkPat), lit(2)).as("texts"))
+        .select(col("src"), explode(arrays_zip(col("hrefs"), col("texts"))).as("z"))
+        .select(col("src"), substring_index(col("z.hrefs"), "#", 1).as("doc_id"),
+          col("z.texts").as("anchor"))
+        .filter(col("doc_id") =!= col("src"))
+        .select(col("doc_id"), explode(toks(col("anchor"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .select(col("doc_id"), lit("anchor").as("field"), col("term"), col("tf"))
+      val bodyTf = pages
+        .select(col("url").as("doc_id"),
+          explode(toks(regexp_replace(col("html"), "<[^>]*>", " "))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .select(col("doc_id"), lit("body").as("field"), col("term"), col("tf"))
+      val fieldTf = anchorTf.unionByName(bodyTf)
+      dumpAux(fieldTf, "q130_fieldtf")
+      graft.query.Bm25f.topK(fieldTf, Seq("rel", "voyage"),
+        Map("anchor" -> (3.0, 0.1), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20)
     })
   )
 
@@ -3522,31 +3591,13 @@ object SparkEntry {
     // q127: the BM25F algebra replayed verbatim over the dumped field
     // postings — exact-integer field lengths, one fp division per
     // average, q31's positive idf
-    "q127_bm25f" ->
-      s"""WITH ft AS (SELECT doc_id, field, term, tf
-                      FROM read_parquet('${auxDir}/q127_fieldtf/*.parquet')),
-         fl AS (SELECT doc_id, field, sum(tf)::BIGINT AS flen
-                FROM ft GROUP BY doc_id, field),
-         av AS (SELECT field, sum(flen)::DOUBLE / count(*) AS a
-                FROM fl GROUP BY field),
-         nd AS (SELECT count(DISTINCT doc_id) AS n FROM ft),
-         q AS (SELECT * FROM ft WHERE term IN ('scan', 'filter', 'hash')),
-         w1 AS (SELECT q.doc_id, q.term,
-                  (CASE q.field WHEN 'head' THEN 2.0e0 ELSE 1.0e0 END) * q.tf /
-                  (1.0e0 + (CASE q.field WHEN 'head' THEN 0.5e0 ELSE 0.75e0 END)
-                    * (fl.flen / av.a - 1.0e0)) AS wtf1
-                FROM q JOIN fl USING (doc_id, field) JOIN av USING (field)),
-         wt AS (SELECT doc_id, term, sum(wtf1) AS wtf
-                FROM w1 GROUP BY doc_id, term),
-         dict AS (SELECT term, count(DISTINCT doc_id) AS df
-                  FROM q GROUP BY term),
-         sc AS (SELECT wt.doc_id,
-                  sum(ln((nd.n - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
-                    * wt.wtf / (wt.wtf + 1.2e0)) AS raw
-                FROM wt JOIN dict d USING (term) CROSS JOIN nd
-                GROUP BY wt.doc_id)
-         SELECT doc_id, round_even(raw * 1e6, 0) / 1e6 AS score
-         FROM sc ORDER BY raw DESC, doc_id ASC LIMIT 20""",
+    "q127_bm25f" -> bm25fSql("q127_fieldtf", Seq("scan", "filter", "hash"),
+      Map("head" -> (2.0, 0.5), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20),
+
+    // q130: the same generated BM25F replay over REAL web fields — anchor
+    // terms harvested from OTHER documents' links + stripped body text
+    "q130_bm25f_anchor" -> bm25fSql("q130_fieldtf", Seq("rel", "voyage"),
+      Map("anchor" -> (3.0, 0.1), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20),
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
