@@ -2441,6 +2441,35 @@ object SparkEntry {
       dumpAux(fieldTf, "q130_fieldtf")
       graft.query.Bm25f.topK(fieldTf, Seq("rel", "voyage"),
         Map("anchor" -> (3.0, 0.1), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20)
+    }),
+
+    // ---- tracking-param URL canonicalization: fragment + utm_/click-id
+    // params dropped, survivors sorted, min-url keeper per group — pure
+    // string/array built-ins, replayed verbatim by the oracle ----
+    "q131_canonical_url" -> ((s, _) => {
+      import s.implicits._
+      val urls = (0 until 200).flatMap { i =>
+        val base = s"http://host${i % 8}.example/p/${i / 2}"
+        Seq(
+          s"$base?id=$i",
+          s"$base?utm_source=s$i&id=$i",
+          s"$base?id=$i&utm_campaign=c${i % 5}#sec$i",
+          s"$base?b=${i % 3}&id=$i",
+          s"$base?id=$i&b=${i % 3}",
+          if (i % 4 == 0) s"$base?fbclid=f$i" else s"$base?ref=tw&page=$i")
+      }.toDF("url")
+      dumpAux(urls, "q131_urls")
+      graft.crawl.CanonicalUrl.withKeeper(urls, "url")
+    }),
+
+    // ---- rendezvous shard placement: 256 shards × 10 workers × 3
+    // replicas by portable-hash HRW — any engine recomputes the
+    // identical placement from ids alone ----
+    "q132_shard_placement" -> ((s, _) => {
+      import s.implicits._
+      val shards = (0 until 256).map(i => s"shard-$i").toDF("sid")
+      graft.query.ShardPlacement.assign(shards, "sid",
+        (0 until 10).map(i => s"worker-$i"), replicas = 3)
     })
   )
 
@@ -3598,6 +3627,54 @@ object SparkEntry {
     // terms harvested from OTHER documents' links + stripped body text
     "q130_bm25f_anchor" -> bm25fSql("q130_fieldtf", Seq("rel", "voyage"),
       Map("anchor" -> (3.0, 0.1), "body" -> (1.0, 0.75)), k1 = 1.2, k = 20),
+
+    // q131: fragment/tracking-param strip + sort + min-url keeper replayed
+    // with DuckDB's own string/list built-ins over the dumped urls
+    "q131_canonical_url" ->
+      s"""WITH u AS (SELECT url FROM read_parquet('${auxDir}/q131_urls/*.parquet')),
+         m AS (SELECT url,
+                 CASE WHEN strpos(url, '#') > 0
+                      THEN substr(url, 1, strpos(url, '#') - 1)
+                      ELSE url END AS nofrag
+               FROM u),
+         p AS (SELECT url,
+                 CASE WHEN strpos(nofrag, '?') > 0
+                      THEN substr(nofrag, 1, strpos(nofrag, '?') - 1)
+                      ELSE nofrag END AS base,
+                 CASE WHEN strpos(nofrag, '?') > 0
+                      THEN substr(nofrag, strpos(nofrag, '?') + 1)
+                      ELSE '' END AS q
+               FROM m),
+         k AS (SELECT url, base,
+                 list_sort(list_filter(string_split(q, '&'),
+                   x -> NOT starts_with(split_part(x, '=', 1), 'utm_')
+                    AND split_part(x, '=', 1) NOT IN
+                        ('fbclid','gclid','msclkid','ref','mc_cid','mc_eid')
+                    AND x <> '')) AS kept
+               FROM p),
+         c AS (SELECT url,
+                 CASE WHEN len(kept) > 0
+                      THEN base || '?' || array_to_string(kept, '&')
+                      ELSE base END AS canonical
+               FROM k),
+         g AS (SELECT canonical, min(url) AS keeper FROM c GROUP BY canonical)
+         SELECT c.url, c.canonical, g.keeper FROM c JOIN g USING (canonical)""",
+
+    // q132: the identical HRW placement from the portable md5 hash alone
+    "q132_shard_placement" -> {
+      val workerList = (0 until 10).map(i => s"'worker-$i'").mkString(", ")
+      s"""WITH sh AS (SELECT 'shard-' || unnest(range(256))::VARCHAR AS shard),
+         w AS (SELECT unnest([$workerList]) AS worker),
+         scored AS (SELECT shard, worker,
+                      ('0x' || substr(md5(shard || '|' || worker), 1, 15))::BIGINT
+                        AS score
+                    FROM sh CROSS JOIN w),
+         r AS (SELECT shard, worker,
+                 row_number() OVER (PARTITION BY shard
+                    ORDER BY score DESC, worker ASC)::INTEGER AS replica
+               FROM scored)
+         SELECT shard, worker, replica FROM r WHERE replica <= 3"""
+    },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
