@@ -2470,6 +2470,44 @@ object SparkEntry {
       val shards = (0 until 256).map(i => s"shard-$i").toDF("sid")
       graft.query.ShardPlacement.assign(shards, "sid",
         (0 until 10).map(i => s"worker-$i"), replicas = 3)
+    }),
+
+    // ---- file-level min/max DATA SKIPPING (Iceberg manifest-stats
+    // analog): lineitem range-clustered into 16 files, per-file bounds
+    // recorded as a snapshot sidecar, then a 2k-orderkey range probe that
+    // must PROVE most files disjoint and scan only the survivors; the
+    // residual filter keeps the result stats-independent, so the oracle is
+    // the plain full-scan predicate ----
+    "q133_data_skipping" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      graft.tables.TableIO.write(
+        li.repartitionByRange(16, col("l_orderkey")), dir, "clustered")
+      graft.tables.DataSkipping.analyze(s, dir, Seq("l_orderkey"))
+      val total = graft.tables.TableIO.manifest(s, dir).count(_.path.nonEmpty)
+      val kept = graft.tables.DataSkipping
+        .survivingFiles(s, dir, "l_orderkey", "1000", "2999")
+      require(kept.size < total,
+        s"file skipping must prune the clustered layout: kept ${kept.size} of $total")
+      graft.tables.DataSkipping.readBetween(s, dir, "l_orderkey", "1000", "2999")
+    }),
+
+    // ---- reciprocal rank fusion of two REAL scorers' rankings (the
+    // reference tf-idf replay and exhaustive BM25) — rank-only combination,
+    // per-(query, url) sum folded in system order so the oracle replays it
+    // bit-identically from the dumped runs ----
+    "q134_rank_fusion" -> ((s, _) => {
+      val n = 1000
+      val built = builtFor(s, n)
+      val ref = graft.query.QueryOps.batchReferenceTopK(s, built, batchQueries, n)
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("url"), col("rank"), lit("ref").as("system"))
+      val bm = graft.query.QueryOps.batchBm25TopK(s, built, batchQueries, 20)
+        .select(col("query_id"), col("url"), col("rank"), lit("bm25").as("system"))
+      val runs = ref.unionByName(bm)
+      dumpAux(runs, "q134_runs")
+      graft.query.Fusion.rrf(runs, k0 = 60, k = 20)
     })
   )
 
@@ -3675,6 +3713,33 @@ object SparkEntry {
                FROM scored)
          SELECT shard, worker, replica FROM r WHERE replica <= 3"""
     },
+
+    // q133: the residual predicate IS the semantics — the oracle is the
+    // plain full-scan range filter; pruning only removes files the sidecar
+    // proves disjoint (the in-query require pins that it actually pruned)
+    "q133_data_skipping" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 2999""",
+
+    // q134: RRF recomputed from the dumped per-system runs — same
+    // system-ordered fold (list ORDER BY system, ordered list_reduce), same
+    // (score desc, url asc) ranking, same 6dp round-even
+    "q134_rank_fusion" ->
+      s"""WITH r AS (SELECT query_id, url, rank, "system"
+                     FROM read_parquet('${auxDir}/q134_runs/*.parquet')),
+         c AS (SELECT query_id, url,
+                 list(1e0 / (60 + rank) ORDER BY "system") AS cs
+               FROM r GROUP BY query_id, url),
+         f AS (SELECT query_id, url,
+                 list_reduce(list_prepend(0e0, cs), (a, b) -> a + b) AS score
+               FROM c),
+         k AS (SELECT query_id, url, score,
+                 row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, url ASC)::INTEGER AS rank
+               FROM f)
+         SELECT query_id, url, rank,
+                round_even(score * 1e6, 0) / 1e6 AS rrf
+         FROM k WHERE rank <= 20""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch

@@ -35,7 +35,7 @@ final case class SnapshotMeta(snapshot_id: Long, parent_id: Long,
   */
 object TableIO {
 
-  private def metaDir(dir: String): Path = Paths.get(dir, "_graft_meta")
+  private[tables] def metaDir(dir: String): Path = Paths.get(dir, "_graft_meta")
 
   def currentSnapshotId(dir: String): Option[Long] = {
     val p = metaDir(dir).resolve("current")
@@ -185,6 +185,7 @@ object TableIO {
       deleteRecursively(Paths.get(dir, "data", s"snap-$id"))
       deleteRecursively(metaDir(dir).resolve(s"snapshot-$id-files.jsonl"))
       deleteRecursively(metaDir(dir).resolve(s"snapshot-$id-meta.json"))
+      deleteRecursively(metaDir(dir).resolve(s"snapshot-$id-stats.jsonl"))
     }
     expired
   }
@@ -201,11 +202,22 @@ object TableIO {
     * a bare leaf-file read strips it). Columns are then re-ordered to the
     * recorded DDL (inference appends partition columns last). */
   def read(spark: SparkSession, dir: String,
-           snapshotId: Option[Long] = None): DataFrame = {
+           snapshotId: Option[Long] = None): DataFrame =
+    readFiltered(spark, dir, snapshotId, _ => true)
+
+  /** [[read]] restricted to the manifest paths `keep` accepts — the scan
+    * half of [[DataSkipping.readBetween]]'s file pruning. The recorded
+    * schema/column-order handling is identical to a full read; an
+    * everything-pruned snapshot reads as the same empty frame an empty
+    * snapshot does. */
+  private[tables] def readFiltered(spark: SparkSession, dir: String,
+                                   snapshotId: Option[Long],
+                                   keep: String => Boolean): DataFrame = {
     val snap = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
       throw new IllegalStateException(s"no snapshot at $dir"))
     val files = manifest(spark, dir, Some(snap))
       .filter(_.path.nonEmpty) // skip synthetic empty-partition lineage rows
+      .filter(f => keep(f.path))
       .map(f => s"$dir/${f.path}")
     val ddl = snapshotMeta(spark, dir, snap).map(_.schema_ddl).getOrElse("")
     if (files.nonEmpty) {
