@@ -526,6 +526,50 @@ object SparkEntry {
       s" SELECT url, round_even(rank * 1e8, 0) / 1e8 AS rank FROM r$iters"
   }
 
+  /** DuckDB SQL for q135: TWO unrolled power-iteration chains over the
+    * dumped graph — t* teleports to the trusted whitelist (TrustRank),
+    * g* to every node (the PageRank baseline) — then the relative
+    * spam-mass division on the unrounded chain values. Same per-iteration
+    * algebra as [[personalizedPagerankSql]]. */
+  private def trustRankSql(iters: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q135_nodes/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/q135_edges/*.parquet')),
+         seeds AS (SELECT DISTINCT url FROM read_parquet('${auxDir}/q135_trusted/*.parquet')),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         live AS (SELECT e.src, e.dst FROM edges e JOIN nodes nn ON e.dst = nn.url),
+         telet AS (SELECT n.url,
+                          CASE WHEN s.url IS NOT NULL
+                               THEN 1.0e0 / (SELECT count(*) FROM seeds)
+                               ELSE 0.0e0 END AS t
+                   FROM nodes n LEFT JOIN seeds s ON n.url = s.url),
+         teleg AS (SELECT url, 1.0e0 / (SELECT count(*) FROM nodes) AS t
+                   FROM nodes),
+         t0 AS (SELECT url, t AS rank FROM telet),
+         g0 AS (SELECT url, t AS rank FROM teleg)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""", t$i AS (
+         SELECT te.url, (1 - 0.85e0) * te.t + coalesce(s.mass, 0.0e0) AS rank
+         FROM telet te LEFT JOIN (
+           SELECT l.dst AS url, sum(0.85e0 * r.rank / d.outdeg) AS mass
+           FROM live l JOIN t${i - 1} r ON l.src = r.url JOIN deg d ON d.src = l.src
+           GROUP BY l.dst) s ON te.url = s.url),
+         g$i AS (
+         SELECT te.url, (1 - 0.85e0) * te.t + coalesce(s.mass, 0.0e0) AS rank
+         FROM teleg te LEFT JOIN (
+           SELECT l.dst AS url, sum(0.85e0 * r.rank / d.outdeg) AS mass
+           FROM live l JOIN g${i - 1} r ON l.src = r.url JOIN deg d ON d.src = l.src
+           GROUP BY l.dst) s ON te.url = s.url)"""
+    }.mkString
+    head + iterCtes +
+      s""" SELECT g.url,
+             round_even(g.rank * 1e8, 0) / 1e8 AS pr,
+             round_even(t.rank * 1e8, 0) / 1e8 AS trust,
+             round_even((CASE WHEN g.rank > 0 THEN (g.rank - t.rank) / g.rank
+                              ELSE 0.0e0 END) * 1e6, 0) / 1e6 AS spam_mass
+           FROM g$iters g JOIN t$iters t USING (url)"""
+  }
+
   /** DuckDB SQL for fixed-iteration max-normalized HITS over the dumped
     * link graph: two CTEs per iteration (auth from hubs, hub from auths),
     * each zero-filled over all nodes and divided by its max. */
@@ -2508,6 +2552,56 @@ object SparkEntry {
       val runs = ref.unionByName(bm)
       dumpAux(runs, "q134_runs")
       graft.query.Fusion.rrf(runs, k0 = 60, k = 20)
+    }),
+
+    // ---- TrustRank + relative spam mass over the corpus link graph:
+    // trust walks from 3 whitelisted seeds, the global baseline is the
+    // same damped walk with the uniform teleport (both via Personalized),
+    // mass = (pr - trust)/pr — the link-spam demotion signal. Division on
+    // UNROUNDED doubles both sides; outputs rounded like q88/q32 ----
+    "q135_trustrank" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val nodes = state0.map(_.url).toDF("url")
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      val trusted = nodes.filter(col("url").endsWith("/p/0") ||
+        col("url").endsWith("/p/100") || col("url").endsWith("/p/200"))
+      dumpAux(nodes, "q135_nodes")
+      dumpAux(edges, "q135_edges")
+      dumpAux(trusted, "q135_trusted")
+      graft.rank.TrustRank.spamMass(s, nodes, edges, trusted, iters = 10)
+        .select(col("url"),
+          (bround(col("pr") * 1e8, 0) / 1e8).as("pr"),
+          (bround(col("trust") * 1e8, 0) / 1e8).as("trust"),
+          (bround(col("spam_mass") * 1e6, 0) / 1e6).as("spam_mass"))
+    }),
+
+    // ---- query-log BURST detection (trending queries): hourly counts vs
+    // the trailing 6-hour sum, integer-exact predicate (cnt·W > factor·
+    // prev_sum), RANGE window over the hour index so silent hours dilute
+    // the baseline. Log: 8 queries × 72 h of hash-driven base traffic plus
+    // an injected 2-hour spike on "galaxy" ----
+    "q136_trending" -> ((s, _) => {
+      import s.implicits._
+      val pool = Seq("galaxy", "prince", "engine", "running",
+        "officer", "storage", "soldier", "compression")
+      val poolCol = array(pool.map(lit): _*)
+      val base = s.range(8L * 72)
+        .select(element_at(poolCol, ((col("id") / 72) + 1).cast("int")).as("query"),
+          pmod(col("id"), lit(72)).as("h"))
+        .withColumn("reps", pmod(xxhash64(col("query"), col("h")), lit(3)).cast("int"))
+        .where(col("reps") > 0)
+        .select(col("query"), col("h"),
+          explode(sequence(lit(1), col("reps"))).as("r"))
+      val burst = s.range(60).select(lit("galaxy").as("query"),
+        (lit(60) + (col("id") / 30).cast("long")).as("h"),
+        (pmod(col("id"), lit(30)) + 100).cast("int").as("r"))
+      val log = base.unionByName(burst).select(col("query"),
+        to_timestamp(from_unixtime(lit(1699999200L) + col("h") * 3600L +
+          pmod(xxhash64(col("query"), col("h"), col("r")), lit(3600)))).as("ts"))
+      dumpAux(log, "q136_log")
+      graft.query.Trending.bursts(log, windowHours = 6, factor = 3, minCount = 5)
     })
   )
 
@@ -3740,6 +3834,28 @@ object SparkEntry {
          SELECT query_id, url, rank,
                 round_even(score * 1e6, 0) / 1e6 AS rrf
          FROM k WHERE rank <= 20""",
+
+    // q135: two unrolled power-iteration chains (q88's algebra) — trust
+    // teleports to the dumped whitelist, the baseline to every node; the
+    // mass division runs on the unrounded chain values, like Spark
+    "q135_trustrank" -> trustRankSql(10),
+
+    // q136: identical hourly counts + RANGE trailing window + the
+    // integer-exact burst predicate (sums cast back from int128)
+    "q136_trending" ->
+      s"""WITH l AS (SELECT query, ts
+                     FROM read_parquet('${auxDir}/q136_log/*.parquet')),
+         c AS (SELECT query, floor(epoch(ts))::BIGINT // 3600 AS hour,
+                      count(*)::BIGINT AS cnt
+               FROM l GROUP BY 1, 2),
+         w AS (SELECT query, hour, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY query ORDER BY hour
+                   RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS prev_sum
+               FROM c)
+         SELECT query, hour, cnt, prev_sum,
+                (cnt * 6 > prev_sum * 3 AND cnt >= 5) AS is_burst
+         FROM w""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
