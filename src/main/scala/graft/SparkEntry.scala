@@ -2602,6 +2602,15 @@ object SparkEntry {
           pmod(xxhash64(col("query"), col("h"), col("r")), lit(3600)))).as("ts"))
       dumpAux(log, "q136_log")
       graft.query.Trending.bursts(log, windowHours = 6, factor = 3, minCount = 5)
+    }),
+
+    // ---- doc-id reordering compression accounting: total varbyte cost of
+    // every term's posting-gap sequence under url-sorted vs hash-random id
+    // assignment — integer-exact, and the proof behind the index's
+    // url-ordered dense ids (clustered ids => smaller gaps => fewer bytes)
+    "q137_id_reorder" -> ((s, _) => {
+      dumpTriplesOnce(s, 1000)
+      graft.index.IdReorder.report(s, makeTriples(s, 1000), parts = searchParts(s))
     })
   )
 
@@ -3856,6 +3865,36 @@ object SparkEntry {
          SELECT query, hour, cnt, prev_sum,
                 (cnt * 6 > prev_sum * 3 AND cnt >= 5) AS is_burst
          FROM w""",
+
+    // q137: both dense-rank assignments recomputed from the dumped triples
+    // (hash order = the same portable md5 h60), then identical gap +
+    // varbyte-threshold accounting — all integer math
+    "q137_id_reorder" ->
+      s"""WITH tr AS (SELECT DISTINCT url, term
+                      FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')),
+         urls AS (SELECT DISTINCT url FROM tr),
+         su AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS id FROM urls),
+         sh AS (SELECT url, row_number() OVER (ORDER BY
+                  ('0x' || substr(md5(url), 1, 15))::BIGINT, url) - 1 AS id
+                FROM urls),
+         b AS (SELECT 'url_sorted' AS scheme, t.term, s.id
+               FROM tr t JOIN su s USING (url)
+               UNION ALL
+               SELECT 'hashed' AS scheme, t.term, s.id
+               FROM tr t JOIN sh s USING (url)),
+         g AS (SELECT scheme,
+                 coalesce(id - lag(id) OVER (PARTITION BY scheme, term
+                                             ORDER BY id), id + 1) AS gap
+               FROM b)
+         SELECT scheme, count(*)::BIGINT AS postings,
+                sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                         WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                         WHEN gap < 34359738368 THEN 5
+                         WHEN gap < 4398046511104 THEN 6
+                         WHEN gap < 562949953421312 THEN 7
+                         WHEN gap < 72057594037927936 THEN 8
+                         ELSE 9 END)::BIGINT AS bytes
+         FROM g GROUP BY scheme""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch

@@ -114,11 +114,11 @@ object IndexBuild {
   }
 
   /** Per-partition row counts → exclusive prefix offsets for the dense
-    * doc-id assignment (the ONE copy shared by [[build]] and
-    * [[fromUrlTermTf]]). Returns (offsets indexed by partition id, total
-    * row count). */
-  private def partitionOffsets(sorted: org.apache.spark.sql.DataFrame,
-                               parts: Int): (Array[Long], Long) = {
+    * doc-id assignment (the ONE copy shared by [[build]],
+    * [[fromUrlTermTf]] and [[IdReorder]]). Returns (offsets indexed by
+    * partition id, total row count). */
+  private[graft] def partitionOffsets(sorted: org.apache.spark.sql.DataFrame,
+                                      parts: Int): (Array[Long], Long) = {
     val spark = sorted.sparkSession
     import spark.implicits._
     val counts = sorted.mapPartitions { it =>
