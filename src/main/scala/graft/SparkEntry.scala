@@ -2611,6 +2611,23 @@ object SparkEntry {
     "q137_id_reorder" -> ((s, _) => {
       dumpTriplesOnce(s, 1000)
       graft.index.IdReorder.report(s, makeTriples(s, 1000), parts = searchParts(s))
+    }),
+
+    // ---- team-draft interleaving of the same two real rankers q134
+    // fuses: the online-eval merge users actually see, with the
+    // deterministic h60 coin so the oracle (a recursive CTE drafting one
+    // pick per step) replays the exact list ----
+    "q138_interleave" -> ((s, _) => {
+      val n = 1000
+      val built = builtFor(s, n)
+      val ref = graft.query.QueryOps.batchReferenceTopK(s, built, batchQueries, n)
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("url"), col("rank"), lit("ref").as("system"))
+      val bm = graft.query.QueryOps.batchBm25TopK(s, built, batchQueries, 20)
+        .select(col("query_id"), col("url"), col("rank"), lit("bm25").as("system"))
+      val runs = ref.unionByName(bm)
+      dumpAux(runs, "q138_runs")
+      graft.query.Interleave.teamDraft(runs, "ref", "bm25", k = 20)
     })
   )
 
@@ -3895,6 +3912,57 @@ object SparkEntry {
                          WHEN gap < 72057594037927936 THEN 8
                          ELSE 9 END)::BIGINT AS bytes
          FROM g GROUP BY scheme""",
+
+    // q138: the draft replayed one pick per recursive step — same
+    // fewer-picks-first rule, same h60(qid|round) coin, exhausted team
+    // cedes; terminal state per query = the longest picks list
+    "q138_interleave" ->
+      s"""WITH RECURSIVE
+         r AS (SELECT query_id, url, rank, "system"
+               FROM read_parquet('${auxDir}/q138_runs/*.parquet')),
+         la AS (SELECT query_id, list(url ORDER BY rank) AS l FROM r
+                WHERE "system" = 'ref' GROUP BY query_id),
+         lb AS (SELECT query_id, list(url ORDER BY rank) AS l FROM r
+                WHERE "system" = 'bm25' GROUP BY query_id),
+         base AS (SELECT coalesce(la.query_id, lb.query_id) AS qid,
+                         coalesce(la.l, []) AS a, coalesce(lb.l, []) AS b
+                  FROM la FULL JOIN lb ON la.query_id = lb.query_id),
+         step AS (
+           SELECT qid, a, b, []::VARCHAR[] AS picked,
+                  []::STRUCT(url VARCHAR, team VARCHAR)[] AS picks,
+                  0 AS na, 0 AS nb
+           FROM base
+           UNION ALL
+           SELECT qid, a, b, list_append(picked, u),
+                  list_append(picks,
+                    {'url': u, 'team': CASE WHEN ad THEN 'ref' ELSE 'bm25' END}),
+                  na + CASE WHEN ad THEN 1 ELSE 0 END,
+                  nb + CASE WHEN ad THEN 0 ELSE 1 END
+           FROM (
+             SELECT *, CASE WHEN ad THEN nxa ELSE nxb END AS u
+             FROM (
+               SELECT *, CASE WHEN nxa IS NULL THEN FALSE
+                              WHEN nxb IS NULL THEN TRUE
+                              WHEN na <> nb THEN na < nb
+                              ELSE ('0x' || substr(md5(qid::VARCHAR || '|' ||
+                                    na::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                         END AS ad
+               FROM (
+                 SELECT *,
+                   list_filter(a, x -> NOT list_contains(picked, x))[1] AS nxa,
+                   list_filter(b, x -> NOT list_contains(picked, x))[1] AS nxb
+                 FROM step WHERE len(picks) < 20
+               ) WHERE nxa IS NOT NULL OR nxb IS NOT NULL
+             )
+           )
+         ),
+         fin AS (SELECT qid, picks FROM step s
+                 WHERE len(picks) = (SELECT max(len(s2.picks)) FROM step s2
+                                     WHERE s2.qid = s.qid))
+         SELECT qid AS query_id,
+                unnest(generate_series(1, len(picks)))::INTEGER AS pos,
+                unnest(picks).url AS url, unnest(picks).team AS team
+         FROM fin""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
