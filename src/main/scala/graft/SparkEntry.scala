@@ -570,6 +570,39 @@ object SparkEntry {
            FROM g$iters g JOIN t$iters t USING (url)"""
   }
 
+  /** DuckDB SQL for q139: fixed-iteration SALSA over the dumped graph —
+    * [[hitsSql]]'s two-CTE-per-round shape with degree-normalized sums and
+    * NO max normalization (the walk conserves mass). */
+  private def salsaSql(iters: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT url FROM read_parquet('${auxDir}/q139_nodes/*.parquet')),
+         edges AS (SELECT src, dst FROM read_parquet('${auxDir}/q139_edges/*.parquet')),
+         live AS (SELECT e.src, e.dst FROM edges e
+                  JOIN nodes ns ON e.src = ns.url
+                  JOIN nodes nd ON e.dst = nd.url),
+         odeg AS (SELECT src, count(*) AS outdeg FROM live GROUP BY src),
+         ideg AS (SELECT dst, count(*) AS indeg FROM live GROUP BY dst),
+         h0 AS (SELECT url, 1.0e0 AS hub FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""", a$i AS (SELECT n.url, coalesce(s.v, 0e0) AS auth
+           FROM nodes n LEFT JOIN (
+             SELECT l.dst AS url, sum(h.hub / o.outdeg) AS v
+             FROM live l JOIN h${i - 1} h ON l.src = h.url
+                         JOIN odeg o ON o.src = l.src
+             GROUP BY l.dst) s ON n.url = s.url),
+         h$i AS (SELECT n.url, coalesce(s.v, 0e0) AS hub
+           FROM nodes n LEFT JOIN (
+             SELECT l.src AS url, sum(a.auth / d.indeg) AS v
+             FROM live l JOIN a$i a ON l.dst = a.url
+                         JOIN ideg d ON d.dst = l.dst
+             GROUP BY l.src) s ON n.url = s.url)"""
+    }.mkString
+    head + iterCtes +
+      s""" SELECT h.url, round_even(h.hub * 1e8, 0) / 1e8 AS hub,
+                  round_even(a.auth * 1e8, 0) / 1e8 AS auth
+           FROM h$iters h JOIN a$iters a USING (url)"""
+  }
+
   /** DuckDB SQL for fixed-iteration max-normalized HITS over the dumped
     * link graph: two CTEs per iteration (auth from hubs, hub from auths),
     * each zero-filled over all nodes and divided by its max. */
@@ -2628,6 +2661,24 @@ object SparkEntry {
       val runs = ref.unionByName(bm)
       dumpAux(runs, "q138_runs")
       graft.query.Interleave.teamDraft(runs, "ref", "bm25", k = 20)
+    }),
+
+    // ---- SALSA hubs/authorities over the corpus link graph: HITS'
+    // structure with degree-normalized (random-walk) spreading — the
+    // TKC-resistant variant production follow/recommendation systems use.
+    // Mass-conserving updates, so no per-round normalization to replay ----
+    "q139_salsa" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val nodes = state0.map(_.url).toDF("url")
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(nodes, "q139_nodes")
+      dumpAux(edges, "q139_edges")
+      graft.rank.Salsa.run(s, nodes, edges, iters = 8)
+        .select(col("url"),
+          (bround(col("hub") * 1e8) / 1e8).as("hub"),
+          (bround(col("auth") * 1e8) / 1e8).as("auth"))
     })
   )
 
@@ -3963,6 +4014,10 @@ object SparkEntry {
                 unnest(generate_series(1, len(picks)))::INTEGER AS pos,
                 unnest(picks).url AS url, unnest(picks).team AS team
          FROM fin""",
+
+    // q139: 8 unrolled degree-normalized rounds, mass-conserving (no
+    // per-round max CTE to keep in lockstep, unlike q68)
+    "q139_salsa" -> salsaSql(8),
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
