@@ -2679,6 +2679,19 @@ object SparkEntry {
         .select(col("url"),
           (bround(col("hub") * 1e8) / 1e8).as("hub"),
           (bround(col("auth") * 1e8) / 1e8).as("auth"))
+    }),
+
+    // ---- CORI resource selection: rank the 16 host shards per query by
+    // shard-level statistics only (df, cw, cf — posting data untouched),
+    // term-ordered belief folds so the oracle replays the doubles ----
+    "q140_shard_select" -> ((s, _) => {
+      dumpTriplesOnce(s, 1000)
+      val qs = batchQueries.zipWithIndex.map { case (q, i) =>
+        (i, q.split(" ").toSeq)
+      }
+      graft.query.ShardSelect.cori(s, makeTriples(s, 1000),
+        substring_index(substring_index(col("url"), "//", -1), "/", 1),
+        qs, topR = 5)
     })
   )
 
@@ -4018,6 +4031,52 @@ object SparkEntry {
     // q139: 8 unrolled degree-normalized rounds, mass-conserving (no
     // per-round max CTE to keep in lockstep, unlike q68)
     "q139_salsa" -> salsaSql(8),
+
+    // q140: CORI recomputed from the dumped triples — same host shards,
+    // same T/I algebra with identical association order, same
+    // term-ordered fold and single end division
+    "q140_shard_select" -> {
+      val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+        q.split(" ").distinct.map(t => s"($qi, '$t')")
+      }.mkString(", ")
+      s"""WITH trf AS (SELECT url, term, tf
+                       FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')),
+         p AS (SELECT split_part(split_part(url, '//', 2), '/', 1) AS shard,
+                      term, tf
+               FROM trf),
+         stats AS (SELECT shard, term, count(*)::BIGINT AS df
+                   FROM p GROUP BY 1, 2),
+         cw AS (SELECT shard, sum(tf)::BIGINT AS cw FROM p GROUP BY 1),
+         consts AS (SELECT count(*)::INT AS c,
+                           sum(cw)::DOUBLE / count(*) AS avgcw
+                    FROM cw),
+         cf AS (SELECT term, count(*)::BIGINT AS cf FROM stats GROUP BY 1),
+         q(qid, term) AS (VALUES $vals),
+         nt AS (SELECT qid, count(DISTINCT term) AS n FROM q GROUP BY 1),
+         bel AS (SELECT q.qid, w.shard, q.term,
+                   CASE WHEN s.df IS NOT NULL AND s.df > 0 THEN
+                     0.4e0 + (1 - 0.4e0) *
+                     (s.df::DOUBLE /
+                       (s.df::DOUBLE + 50e0 + (150e0 * w.cw::DOUBLE) / k.avgcw)) *
+                     (ln((k.c + 0.5e0) / cf.cf::DOUBLE) / ln(k.c + 1.0e0))
+                   ELSE 0.4e0 END AS belief
+                 FROM q CROSS JOIN cw w CROSS JOIN consts k
+                 LEFT JOIN stats s ON s.shard = w.shard AND s.term = q.term
+                 LEFT JOIN cf ON cf.term = q.term),
+         sc AS (SELECT qid, shard,
+                  list_reduce(list_prepend(0e0, list(belief ORDER BY term)),
+                    (a, b) -> a + b) AS s
+                FROM bel GROUP BY qid, shard),
+         sc2 AS (SELECT sc.qid, sc.shard, sc.s / nt.n AS score
+                 FROM sc JOIN nt USING (qid)),
+         r AS (SELECT qid AS query_id, shard, score,
+                 row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, shard ASC)::INTEGER AS rank
+               FROM sc2)
+         SELECT query_id, shard, rank,
+                round_even(score * 1e6, 0) / 1e6 AS score
+         FROM r WHERE rank <= 5"""
+    },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
