@@ -2692,6 +2692,18 @@ object SparkEntry {
       graft.query.ShardSelect.cori(s, makeTriples(s, 1000),
         substring_index(substring_index(col("url"), "//", -1), "/", 1),
         qs, topR = 5)
+    }),
+
+    // q141: Dirichlet-smoothed query-likelihood retrieval — the third
+    // scoring family (LM) next to the reference scorer and BM25; zero-tf
+    // query terms contribute the background mass, so the oracle's grid is
+    // candidates × terms, same as the engine's
+    "q141_lm_dirichlet" -> ((s, _) => {
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      graft.query.LmRetrieval.dirichletTopK(s, makeTriples(s, n),
+        graft.query.LmRetrieval.queryTerms("distributed storage system"),
+        mu = 2000.0, k = 20)
     })
   )
 
@@ -4076,6 +4088,39 @@ object SparkEntry {
          SELECT query_id, shard, rank,
                 round_even(score * 1e6, 0) / 1e6 AS score
          FROM r WHERE rank <= 5"""
+    },
+
+    // q141: Dirichlet query likelihood recomputed from the dumped triples —
+    // same term multiplicities (shared queryTerms), same literal order
+    // ((mu·cf)/|C|, one division each), zero-cf terms inner-joined away,
+    // background rows included via the candidates × terms grid
+    "q141_lm_dirichlet" -> {
+      val vals = graft.query.LmRetrieval
+        .queryTerms("distributed storage system")
+        .map { case (t, m) => s"('$t', $m)" }.mkString(", ")
+      s"""WITH q(term, qtf) AS (VALUES $vals),
+         tr AS (SELECT url, term, tf
+                FROM read_parquet('${auxDir}/${triplesName(2000)}/*.parquet')),
+         total AS (SELECT sum(tf)::DOUBLE AS ct FROM tr),
+         cf AS (SELECT term, sum(tf)::BIGINT AS cf
+                FROM tr JOIN q USING (term) GROUP BY 1),
+         mt AS (SELECT url, term, tf FROM tr JOIN cf USING (term)),
+         cand AS (SELECT DISTINCT url FROM mt),
+         dl AS (SELECT tr.url, sum(tf)::BIGINT AS dl
+                FROM tr JOIN cand USING (url) GROUP BY 1),
+         grid AS (SELECT c.url, q.term, q.qtf, cf.cf,
+                         coalesce(m.tf, 0) AS tf
+                  FROM cand c CROSS JOIN q JOIN cf USING (term)
+                  LEFT JOIN mt m ON m.url = c.url AND m.term = q.term),
+         sc AS (SELECT g.url,
+                  sum(g.qtf::DOUBLE *
+                      ln((g.tf::DOUBLE + (2000e0 * g.cf::DOUBLE) / tt.ct) /
+                         (d.dl::DOUBLE + 2000e0))) AS score
+                FROM grid g JOIN dl d USING (url) CROSS JOIN total tt
+                GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY score DESC, url ASC)::INTEGER AS rank,
+                url, round_even(score * 1e6, 0) / 1e6 AS score
+         FROM sc ORDER BY score DESC, url ASC LIMIT 20"""
     },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
