@@ -2704,6 +2704,17 @@ object SparkEntry {
       graft.query.LmRetrieval.dirichletTopK(s, makeTriples(s, n),
         graft.query.LmRetrieval.queryTerms("distributed storage system"),
         mu = 2000.0, k = 20)
+    }),
+
+    // q142: Rocchio pseudo-relevance feedback — BM25 top-10 as the
+    // feedback set, top-10 expansion terms by (β·idf)·Σtf/N, weighted
+    // rescore; the oracle replays the whole two-phase pipeline in SQL
+    "q142_rocchio_prf" -> ((s, _) => {
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      graft.query.Rocchio.prfTopK(s, makeTriples(s, n),
+        graft.query.LmRetrieval.queryTerms("prince officer soldier"),
+        alpha = 1.0, beta = 0.75, nFeedback = 10, nExpand = 10, k = 20)._1
     })
   )
 
@@ -4121,6 +4132,60 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY score DESC, url ASC)::INTEGER AS rank,
                 url, round_even(score * 1e6, 0) / 1e6 AS score
          FROM sc ORDER BY score DESC, url ASC LIMIT 20"""
+    },
+
+    // q142: the whole two-phase Rocchio pipeline replayed in SQL — BM25
+    // algebra with q31's literal order, feedback set ranked by the 6dp
+    // ROUNDED score (url-asc ties), expansion weight ((β·idf)·Σtf)/N with
+    // the exact-integer Σtf, weighted rescore over the union term set
+    "q142_rocchio_prf" -> {
+      val vals = graft.query.LmRetrieval
+        .queryTerms("prince officer soldier")
+        .map { case (t, m) => s"('$t', $m)" }.mkString(", ")
+      s"""WITH q(term, qtf) AS (VALUES $vals),
+         tr AS (SELECT url, term, tf
+                FROM read_parquet('${auxDir}/${triplesName(2000)}/*.parquet')),
+         docs AS (SELECT url, sum(tf)::BIGINT AS dl FROM tr GROUP BY 1),
+         stats AS (SELECT count(*)::DOUBLE AS nd,
+                          sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+         df1 AS (SELECT term, count(*)::BIGINT AS df
+                 FROM tr JOIN q USING (term) GROUP BY 1),
+         c1 AS (SELECT tr.url,
+                  q.qtf::DOUBLE *
+                  ((ln((s.nd - d.df::DOUBLE + 0.5e0) / (d.df::DOUBLE + 0.5e0) + 1.0e0)
+                    * (tr.tf::DOUBLE * (1.2e0 + 1))) /
+                   (tr.tf::DOUBLE + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dc.dl::DOUBLE / s.avgdl))) AS c
+                FROM tr JOIN q USING (term) JOIN df1 d USING (term)
+                JOIN docs dc USING (url) CROSS JOIN stats s),
+         s1 AS (SELECT url, round_even(sum(c) * 1e6, 0) / 1e6 AS score
+                FROM c1 GROUP BY 1),
+         fb AS (SELECT url FROM s1 ORDER BY score DESC, url ASC LIMIT 10),
+         pool AS (SELECT term, sum(tf)::BIGINT AS stf
+                  FROM tr JOIN fb USING (url)
+                  WHERE term NOT IN (SELECT term FROM q) GROUP BY 1),
+         dfp AS (SELECT term, count(*)::BIGINT AS df
+                 FROM tr JOIN pool USING (term) GROUP BY 1),
+         exp AS (SELECT p.term,
+                   ((0.75e0 * ln((s.nd - d.df::DOUBLE + 0.5e0) / (d.df::DOUBLE + 0.5e0) + 1.0e0))
+                    * p.stf::DOUBLE) / 10e0 AS w
+                 FROM pool p JOIN dfp d USING (term) CROSS JOIN stats s
+                 ORDER BY w DESC, p.term ASC LIMIT 10),
+         fw(term, w) AS (SELECT term, qtf::DOUBLE FROM q
+                         UNION ALL SELECT term, w FROM exp),
+         df2 AS (SELECT term, count(*)::BIGINT AS df
+                 FROM tr JOIN fw USING (term) GROUP BY 1),
+         c2 AS (SELECT tr.url,
+                  fw.w *
+                  ((ln((s.nd - d.df::DOUBLE + 0.5e0) / (d.df::DOUBLE + 0.5e0) + 1.0e0)
+                    * (tr.tf::DOUBLE * (1.2e0 + 1))) /
+                   (tr.tf::DOUBLE + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dc.dl::DOUBLE / s.avgdl))) AS c
+                FROM tr JOIN fw USING (term) JOIN df2 d USING (term)
+                JOIN docs dc USING (url) CROSS JOIN stats s),
+         s2 AS (SELECT url, round_even(sum(c) * 1e6, 0) / 1e6 AS score
+                FROM c2 GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY score DESC, url ASC)::INTEGER AS rank,
+                url, score
+         FROM s2 ORDER BY score DESC, url ASC LIMIT 20"""
     },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
