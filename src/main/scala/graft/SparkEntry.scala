@@ -2715,6 +2715,18 @@ object SparkEntry {
       graft.query.Rocchio.prfTopK(s, makeTriples(s, n),
         graft.query.LmRetrieval.queryTerms("prince officer soldier"),
         alpha = 1.0, beta = 0.75, nFeedback = 10, nExpand = 10, k = 20)._1
+    }),
+
+    // q143: query clarity (performance prediction) — KL(feedback LM ‖
+    // collection LM) over the Dirichlet-QL top-10 of each batch query
+    "q143_clarity" -> ((s, _) => {
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      val qs = batchQueries.zipWithIndex.map { case (q, i) =>
+        (i, graft.query.LmRetrieval.queryTerms(q))
+      }
+      graft.query.Clarity.batch(s, makeTriples(s, n), qs,
+        mu = 2000.0, nFeedback = 10)
     })
   )
 
@@ -4186,6 +4198,57 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY score DESC, url ASC)::INTEGER AS rank,
                 url, score
          FROM s2 ORDER BY score DESC, url ASC LIMIT 20"""
+    },
+
+    // q143: clarity recomputed end-to-end — q141's QL grid with a qid
+    // dimension (rounded-score feedback ranking, url-asc ties), then
+    // KL(P(w|R) ‖ P(w|C)) in nats over the feedback vocabulary
+    "q143_clarity" -> {
+      val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+        graft.query.LmRetrieval.queryTerms(q)
+          .map { case (t, m) => s"($qi, '$t', $m)" }
+      }.mkString(", ")
+      s"""WITH q(qid, term, qtf) AS (VALUES $vals),
+         tr AS (SELECT url, term, tf
+                FROM read_parquet('${auxDir}/${triplesName(2000)}/*.parquet')),
+         total AS (SELECT sum(tf)::DOUBLE AS ct FROM tr),
+         cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tr
+                WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         qs AS (SELECT q.qid, q.term, q.qtf, cf.cf FROM q JOIN cf USING (term)),
+         mt AS (SELECT DISTINCT s.qid, tr.url, tr.term, tr.tf
+                FROM tr JOIN qs s ON tr.term = s.term),
+         cand AS (SELECT DISTINCT qid, url FROM mt),
+         dl AS (SELECT url, sum(tf)::BIGINT AS dl FROM tr
+                WHERE url IN (SELECT url FROM cand) GROUP BY 1),
+         grid AS (SELECT c.qid, c.url, s.term, s.qtf, s.cf,
+                         coalesce(m.tf, 0) AS tf
+                  FROM cand c JOIN qs s ON s.qid = c.qid
+                  LEFT JOIN mt m ON m.qid = c.qid AND m.url = c.url
+                                AND m.term = s.term),
+         sc AS (SELECT g.qid, g.url,
+                  round_even(sum(g.qtf::DOUBLE *
+                    ln((g.tf::DOUBLE + (2000e0 * g.cf::DOUBLE) / tt.ct) /
+                       (d.dl::DOUBLE + 2000e0))) * 1e6, 0) / 1e6 AS score
+                FROM grid g JOIN dl d USING (url) CROSS JOIN total tt
+                GROUP BY 1, 2),
+         fb AS (SELECT qid, url FROM (
+                  SELECT qid, url, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, url ASC) AS rnk FROM sc)
+                WHERE rnk <= 10),
+         rtf AS (SELECT f.qid, tr.term, sum(tr.tf)::BIGINT AS rtf
+                 FROM tr JOIN fb f USING (url) GROUP BY 1, 2),
+         rlen AS (SELECT qid, sum(rtf)::BIGINT AS rlen FROM rtf GROUP BY 1),
+         cfv AS (SELECT term, sum(tf)::BIGINT AS cfv FROM tr
+                 WHERE term IN (SELECT DISTINCT term FROM rtf) GROUP BY 1),
+         kl AS (SELECT r.qid,
+                  (r.rtf::DOUBLE / l.rlen::DOUBLE) *
+                  ln((r.rtf::DOUBLE / l.rlen::DOUBLE) /
+                     (c.cfv::DOUBLE / tt.ct)) AS kl
+                FROM rtf r JOIN rlen l USING (qid) JOIN cfv c USING (term)
+                CROSS JOIN total tt)
+         SELECT qid::INTEGER AS query_id, count(*)::BIGINT AS vocab,
+                round_even(sum(kl) * 1e6, 0) / 1e6 AS clarity
+         FROM kl GROUP BY 1 ORDER BY 1"""
     },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
