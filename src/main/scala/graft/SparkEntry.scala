@@ -2727,6 +2727,15 @@ object SparkEntry {
       }
       graft.query.Clarity.batch(s, makeTriples(s, n), qs,
         mu = 2000.0, nFeedback = 10)
+    }),
+
+    // q144: Zipf + Heaps law fits — log-log OLS over top-100 term ranks
+    // and 8 doc-prefix vocabulary checkpoints
+    "q144_corpus_laws" -> ((s, _) => {
+      val n = 2000
+      dumpTriplesOnce(s, n)
+      graft.ml.CorpusLaws.fits(s, makeTriples(s, n),
+        zipfTopR = 100, heapsCp = 8)
     })
   )
 
@@ -4250,6 +4259,43 @@ object SparkEntry {
                 round_even(sum(kl) * 1e6, 0) / 1e6 AS clarity
          FROM kl GROUP BY 1 ORDER BY 1"""
     },
+
+    // q144: both OLS fits recomputed — pinned term ranks (cf desc, term
+    // asc), url-ordered doc indices, ⌊j·D/8⌋ checkpoints, identical
+    // computational-formula literal shape
+    "q144_corpus_laws" ->
+      s"""WITH tr AS (SELECT url, term, tf
+                FROM read_parquet('${auxDir}/${triplesName(2000)}/*.parquet')),
+         cfs AS (SELECT term, sum(tf)::BIGINT AS cf FROM tr GROUP BY 1),
+         topr AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rnk
+                  FROM cfs ORDER BY cf DESC, term ASC LIMIT 100),
+         zp AS (SELECT ln(rnk::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM topr),
+         docs AS (SELECT url, row_number() OVER (ORDER BY url ASC)::BIGINT AS idx
+                  FROM (SELECT DISTINCT url FROM tr)),
+         dc AS (SELECT count(*)::BIGINT AS d FROM docs),
+         cps AS (SELECT DISTINCT (g.j * dc.d) // 8 AS n
+                 FROM generate_series(1, 8) AS g(j) CROSS JOIN dc
+                 WHERE (g.j * dc.d) // 8 >= 1),
+         firsts AS (SELECT t.term, min(d.idx)::BIGINT AS first
+                    FROM tr t JOIN docs d USING (url) GROUP BY 1),
+         hv AS (SELECT c.n, count(*)::BIGINT AS v
+                FROM cps c JOIN firsts f ON f.first <= c.n GROUP BY 1),
+         hp AS (SELECT ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y FROM hv),
+         fits AS (
+           SELECT 'zipf' AS law, count(*)::BIGINT AS np,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx FROM zp
+           UNION ALL
+           SELECT 'heaps' AS law, count(*)::BIGINT AS np,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx FROM hp)
+         SELECT law, np AS n_points,
+                round_even(((np::DOUBLE * sxy - sx * sy) /
+                            (np::DOUBLE * sxx - sx * sx)) * 1e6, 0) / 1e6 AS slope,
+                round_even(((sy - ((np::DOUBLE * sxy - sx * sy) /
+                                   (np::DOUBLE * sxx - sx * sx)) * sx)
+                            / np::DOUBLE) * 1e6, 0) / 1e6 AS intercept
+         FROM fits ORDER BY law""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
