@@ -2736,6 +2736,23 @@ object SparkEntry {
       dumpTriplesOnce(s, n)
       graft.ml.CorpusLaws.fits(s, makeTriples(s, n),
         zipfTopR = 100, heapsCp = 8)
+    }),
+
+    // q145: post-dedup survivor map — q47's cluster formation composed
+    // with longest-version-wins canonical selection; singletons map to
+    // themselves; integers only, hash-exact oracle
+    "q145_canonical_doc" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val pairs = doc.select(col("doc_id")).filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .union(doc.select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 23).as("b")))
+      dumpAux(pairs, "q145_pairs")
+      val comps = graft.ml.Dedup
+        .connectedComponents(s.read.parquet(s"${auxDir}/q145_pairs"))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+      graft.ml.CanonicalDoc.survivorMap(
+        doc.select(col("doc_id"), length(col("text")).as("len")), comps)
     })
   )
 
@@ -4296,6 +4313,32 @@ object SparkEntry {
                                    (np::DOUBLE * sxx - sx * sx)) * sx)
                             / np::DOUBLE) * 1e6, 0) / 1e6 AS intercept
          FROM fits ORDER BY law""",
+
+    // q145: q47's reachability CTE over the dumped pairs, then the same
+    // longest-version-wins window — integers only, hash-exact
+    "q145_canonical_doc" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT a, b FROM read_parquet('${auxDir}/q145_pairs/*.parquet')),
+         e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         n AS (SELECT DISTINCT x AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT e.x, reach.r FROM e JOIN reach ON e.y = reach.id),
+         comp AS (SELECT id, CAST(min(r) AS BIGINT) AS comp
+                  FROM reach GROUP BY id),
+         base AS (SELECT d.doc_id::BIGINT AS doc_id,
+                         length(d.text)::BIGINT AS len,
+                         coalesce(c.comp, d.doc_id::BIGINT) AS comp
+                  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         canon AS (SELECT comp, doc_id AS canonical_id FROM (
+                     SELECT comp, doc_id, row_number() OVER (
+                       PARTITION BY comp ORDER BY len DESC, doc_id ASC) AS rnk
+                     FROM base)
+                   WHERE rnk = 1)
+         SELECT b.doc_id, c.canonical_id,
+                b.doc_id = c.canonical_id AS is_canonical
+         FROM base b JOIN canon c USING (comp)""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
