@@ -2753,6 +2753,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("component"))
       graft.ml.CanonicalDoc.survivorMap(
         doc.select(col("doc_id"), length(col("text")).as("len")), comps)
+    }),
+
+    // q146: MMR diversification — per-query greedy re-rank over the
+    // brute-cosine top-25 (q25's scorer); rel + pairwise sims are
+    // computed once, dumped raw, and the greedy consumes the dumped
+    // doubles verbatim on both sides
+    "q146_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cand = (0 to 2).map { qi =>
+        val q = emb.filter(col("vec_id") === qi)
+          .select(col("v")).head().getSeq[Double](0)
+        emb.filter(col("vec_id") > 2)
+          .select(lit(qi).as("query_id"), col("vec_id").as("doc_id"),
+            graft.ml.Dedup.cosineCol(col("v"), typedLit(q)).as("rel"), col("v"))
+          .filter(!isnan(col("rel")))
+          .orderBy(col("rel").desc, col("doc_id").asc).limit(25)
+      }.reduce(_ unionByName _)
+      dumpAux(cand.select(col("query_id"), col("doc_id"), col("rel")), "q146_rel")
+      val x = cand.select(col("query_id"), col("doc_id").as("a"), col("v").as("va"))
+      val y = cand.select(col("query_id"), col("doc_id").as("b"), col("v").as("vb"))
+      dumpAux(x.join(y, Seq("query_id")).where(col("a") < col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          graft.ml.Dedup.cosineCol(col("va"), col("vb")).as("sim")), "q146_sims")
+      graft.query.Mmr.rerank(s,
+        s.read.parquet(s"${auxDir}/q146_rel"),
+        s.read.parquet(s"${auxDir}/q146_sims"), lambda = 0.7, k = 10)
     })
   )
 
@@ -4339,6 +4366,58 @@ object SparkEntry {
          SELECT b.doc_id, c.canonical_id,
                 b.doc_id = c.canonical_id AS is_canonical
          FROM base b JOIN canon c USING (comp)""",
+
+    // q146: the greedy MMR loop replayed as a recursive CTE over the
+    // DUMPED rel/sim doubles — per step, unpicked candidates scored
+    // λ·rel − (1−λ)·max(sim to picked) with the identical literal order,
+    // argmax via list_sort on (−score, doc); only emitted scores rounded
+    "q146_mmr_rerank" ->
+      s"""WITH RECURSIVE
+         rel AS (SELECT query_id, doc_id, rel
+                 FROM read_parquet('${auxDir}/q146_rel/*.parquet')),
+         sp AS (SELECT query_id, a, b, sim
+                FROM read_parquet('${auxDir}/q146_sims/*.parquet')),
+         simsym AS (SELECT query_id, a AS doc, b AS other, sim FROM sp
+                    UNION ALL
+                    SELECT query_id, b, a, sim FROM sp),
+         sl AS (SELECT query_id, doc,
+                       list(struct_pack(other := other, sim := sim)) AS sl
+                FROM simsym GROUP BY 1, 2),
+         cands AS (SELECT r.query_id,
+                     list(struct_pack(doc := r.doc_id, rel := r.rel,
+                       sl := coalesce(s.sl, []))) AS cl
+                   FROM rel r LEFT JOIN sl s
+                     ON s.query_id = r.query_id AND s.doc = r.doc_id
+                   GROUP BY r.query_id),
+         step AS (
+           SELECT query_id, cl, []::BIGINT[] AS picked,
+                  []::STRUCT(doc BIGINT, score DOUBLE)[] AS out
+           FROM cands
+           UNION ALL
+           SELECT query_id, cl, list_append(picked, best.d),
+                  list_append(out, struct_pack(doc := best.d, score := -best.s))
+           FROM (
+             SELECT query_id, cl, picked, out,
+               list_sort(list_transform(
+                 list_filter(cl, c -> NOT list_contains(picked, c.doc)),
+                 c -> struct_pack(
+                   s := -(0.7e0 * c.rel - (1 - 0.7e0) * coalesce(
+                     list_aggregate(list_transform(
+                       list_filter(c.sl, x -> list_contains(picked, x.other)),
+                       x -> x.sim), 'max'), 0e0)),
+                   d := c.doc)))[1] AS best
+             FROM step
+             WHERE len(out) < 10 AND len(picked) < len(cl)
+           )
+         ),
+         fin AS (SELECT query_id, out FROM step s
+                 WHERE len(out) = (SELECT max(len(s2.out)) FROM step s2
+                                   WHERE s2.query_id = s.query_id))
+         SELECT query_id,
+                unnest(generate_series(1, len(out)))::INTEGER AS pos,
+                unnest(out).doc AS doc_id,
+                round_even(unnest(out).score * 1e6, 0) / 1e6 AS mmr
+         FROM fin""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
