@@ -2780,6 +2780,25 @@ object SparkEntry {
       graft.query.Mmr.rerank(s,
         s.read.parquet(s"${auxDir}/q146_rel"),
         s.read.parquet(s"${auxDir}/q146_sims"), lambda = 0.7, k = 10)
+    }),
+
+    // q147: politeness-constrained fetch scheduling — per-host crawl-delay
+    // spacing, priority order within host, host-affine fetcher assignment;
+    // priorities and delays derive from the portable hash so the oracle
+    // recomputes the whole schedule from the dumped frontier
+    "q147_politeness" -> ((s, _) => {
+      import s.implicits._
+      val pages = graft.corpus.Corpus.generate(s, 500).map(_.url).toDF("url")
+      dumpAux(pages.select(col("url"),
+        substring_index(substring_index(col("url"), "//", -1), "/", 1)
+          .as("host")), "q147_frontier")
+      val fr = s.read.parquet(s"${auxDir}/q147_frontier")
+        .withColumn("priority", graft.ml.Sketches.h60(col("url")) % 100)
+      val delays = fr.select(col("host")).distinct()
+        .withColumn("delay_ms",
+          lit(250L) * (graft.ml.Sketches.h60(col("host")) % 4 + 1))
+      graft.crawl.Politeness.schedule(fr, delays,
+        fetchers = 8, defaultDelayMs = 1000L)
     })
   )
 
@@ -4418,6 +4437,27 @@ object SparkEntry {
                 unnest(out).doc AS doc_id,
                 round_even(unnest(out).score * 1e6, 0) / 1e6 AS mmr
          FROM fin""",
+
+    // q147: the schedule recomputed from the dumped frontier — same
+    // portable-hash priorities/delays/fetcher, same per-host window;
+    // integers end to end
+    "q147_politeness" ->
+      s"""WITH f AS (SELECT url, host
+                FROM read_parquet('${auxDir}/q147_frontier/*.parquet')),
+         fr AS (SELECT url, host,
+                  ('0x' || substr(md5(url), 1, 15))::BIGINT % 100 AS priority
+                FROM f),
+         d AS (SELECT DISTINCT host,
+                 250 * (('0x' || substr(md5(host), 1, 15))::BIGINT % 4 + 1) AS delay_ms
+               FROM f),
+         s AS (SELECT fr.url, fr.host, fr.priority, d.delay_ms,
+                 (row_number() OVER (PARTITION BY fr.host
+                    ORDER BY fr.priority DESC, fr.url ASC) - 1)::BIGINT AS seq
+               FROM fr JOIN d USING (host))
+         SELECT url, host,
+                (('0x' || substr(md5(host), 1, 15))::BIGINT % 8)::INTEGER AS fetcher,
+                seq, seq * delay_ms AS fetch_at_ms
+         FROM s""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
