@@ -2799,6 +2799,15 @@ object SparkEntry {
           lit(250L) * (graft.ml.Sketches.h60(col("host")) % 4 + 1))
       graft.crawl.Politeness.schedule(fr, delays,
         fetchers = 8, defaultDelayMs = 1000L)
+    }),
+
+    // q148: A/B readout over the event log — portable-hash arm assignment
+    // by user, click-through success, user-cohort segments, two-proportion
+    // z-test with the 1.96 two-sided flag
+    "q148_ab_test" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.ml.AbTest.zTest(ev, col("user_id"), pmod(col("user_id"), lit(4L)),
+        col("event_type") === "click")
     })
   )
 
@@ -4458,6 +4467,45 @@ object SparkEntry {
                 (('0x' || substr(md5(host), 1, 15))::BIGINT % 8)::INTEGER AS fetcher,
                 seq, seq * delay_ms AS fetch_at_ms
          FROM s""",
+
+    // q148: the z-test recomputed — portable-hash arms, exact integer
+    // counts, single divisions, IEEE sqrt, 6dp round-even; degenerate
+    // cohorts NULL out identically
+    "q148_ab_test" ->
+      """WITH e AS (SELECT user_id % 4 AS cohort,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+                  event_type = 'click' AS s
+           FROM events),
+         agg AS (SELECT cohort,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+                   sum(CASE WHEN arm = 0 AND s THEN 1 ELSE 0 END)::BIGINT AS x_control,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+                   sum(CASE WHEN arm = 1 AND s THEN 1 ELSE 0 END)::BIGINT AS x_treat
+                 FROM e GROUP BY 1),
+         c AS (SELECT *,
+                 CASE WHEN n_control > 0
+                      THEN x_control::DOUBLE / n_control::DOUBLE END AS p1,
+                 CASE WHEN n_treat > 0
+                      THEN x_treat::DOUBLE / n_treat::DOUBLE END AS p2,
+                 (x_control + x_treat)::DOUBLE /
+                   (n_control + n_treat)::DOUBLE AS pp
+               FROM agg),
+         z AS (SELECT *,
+                 CASE WHEN n_control > 0 AND n_treat > 0 AND
+                           sqrt(pp * (1.0e0 - pp) *
+                             (1.0e0 / n_control::DOUBLE + 1.0e0 / n_treat::DOUBLE)) > 0
+                      THEN (p1 - p2) /
+                           sqrt(pp * (1.0e0 - pp) *
+                             (1.0e0 / n_control::DOUBLE + 1.0e0 / n_treat::DOUBLE))
+                 END AS zv
+               FROM c)
+         SELECT cohort, n_control, x_control, n_treat, x_treat,
+                round_even(p1 * 1e6, 0) / 1e6 AS p_control,
+                round_even(p2 * 1e6, 0) / 1e6 AS p_treat,
+                round_even((p1 - p2) * 1e6, 0) / 1e6 AS lift,
+                round_even(zv * 1e6, 0) / 1e6 AS z,
+                coalesce(abs(zv) > 1.96e0, false) AS significant
+         FROM z ORDER BY cohort""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
