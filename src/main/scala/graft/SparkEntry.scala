@@ -2808,6 +2808,32 @@ object SparkEntry {
       val ev = t(s, d, "events")
       graft.ml.AbTest.zTest(ev, col("user_id"), pmod(col("user_id"), lit(4L)),
         col("event_type") === "click")
+    }),
+
+    // q149: paired bootstrap significance test — per-query ndcg deltas
+    // between the BM25 and reference scorers (q117's label scheme), 200
+    // hash-deterministic resamples, pinned order-statistic 95% interval;
+    // the bootstrap machinery replays in SQL from the dumped deltas
+    "q149_bootstrap_eval" -> ((s, _) => {
+      val n = 1000
+      val built = builtFor(s, n)
+      val runA = graft.query.QueryOps.batchReferenceTopK(s, built, wandQueries, n)
+        .select(col("query_id"), col("rank"), col("url"))
+      val runB = graft.query.QueryOps.batchBm25TopK(s, built, wandQueries, 10)
+        .select(col("query_id"), col("rank"), col("url"))
+      val labels = runA.unionByName(runB)
+        .select(col("query_id"), col("url")).distinct()
+        .withColumn("rel",
+          pmod(xxhash64(col("query_id"), col("url")), lit(4)).cast("int"))
+      val a = graft.query.Eval.ndcgMrr(runA, labels, k = 10, relThreshold = 2)
+        .select(col("query_id"), col("ndcg").as("ndcg_a"))
+      val b = graft.query.Eval.ndcgMrr(runB, labels, k = 10, relThreshold = 2)
+        .select(col("query_id"), col("ndcg").as("ndcg_b"))
+      dumpAux(a.join(b, Seq("query_id"))
+        .select(col("query_id"), (col("ndcg_b") - col("ndcg_a")).as("delta")),
+        "q149_deltas")
+      graft.query.BootstrapEval.pairedTest(s,
+        s.read.parquet(s"${auxDir}/q149_deltas"), replicas = 200)
     })
   )
 
@@ -4506,6 +4532,45 @@ object SparkEntry {
                 round_even(zv * 1e6, 0) / 1e6 AS z,
                 coalesce(abs(zv) > 1.96e0, false) AS significant
          FROM z ORDER BY cohort""",
+
+    // q149: the bootstrap replayed from the dumped deltas — same
+    // hash-deterministic picks ("r|j" portable hash mod n), same ordered
+    // per-replica folds, same pinned order-statistic endpoints (5, 195
+    // = integer-ceil of 0.025·200 / 0.975·200), significance on the RAW
+    // interval before rounding
+    "q149_bootstrap_eval" ->
+      s"""WITH d AS (SELECT query_id, delta
+                FROM read_parquet('${auxDir}/q149_deltas/*.parquet')),
+         idx AS (SELECT delta,
+                   (row_number() OVER (ORDER BY query_id ASC) - 1)::BIGINT AS idx
+                 FROM d),
+         nn AS (SELECT count(*)::BIGINT AS n FROM d),
+         js AS (SELECT unnest(generate_series(0, n - 1))::BIGINT AS j FROM nn),
+         grid AS (SELECT t.r::BIGINT AS r, js.j,
+                    ('0x' || substr(md5(t.r::VARCHAR || '|' || js.j::VARCHAR),
+                      1, 15))::BIGINT % nn.n AS pick
+                  FROM generate_series(0, 199) t(r)
+                  CROSS JOIN js CROSS JOIN nn),
+         means AS (SELECT g.r,
+                     list_reduce(list_prepend(0e0, list(i.delta ORDER BY g.j)),
+                       (a, b) -> a + b) / nn.n AS mean
+                   FROM grid g JOIN idx i ON i.idx = g.pick CROSS JOIN nn
+                   GROUP BY g.r, nn.n),
+         ranked AS (SELECT mean,
+                      row_number() OVER (ORDER BY mean ASC, r ASC) AS rnk
+                    FROM means),
+         obs AS (SELECT list_reduce(list_prepend(0e0, list(delta ORDER BY idx)),
+                   (a, b) -> a + b) / nn.n AS m
+                 FROM idx CROSS JOIN nn GROUP BY nn.n),
+         lohi AS (SELECT max(CASE WHEN rnk = 5 THEN mean END) AS lo,
+                         max(CASE WHEN rnk = 195 THEN mean END) AS hi
+                  FROM ranked)
+         SELECT nn.n AS n_queries, 200::BIGINT AS n_replicas,
+                round_even(obs.m * 1e6, 0) / 1e6 AS mean_delta,
+                round_even(lohi.lo * 1e6, 0) / 1e6 AS ci_lo,
+                round_even(lohi.hi * 1e6, 0) / 1e6 AS ci_hi,
+                (lohi.lo > 0 OR lohi.hi < 0) AS significant
+         FROM nn, obs, lohi""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
