@@ -2834,6 +2834,19 @@ object SparkEntry {
         "q149_deltas")
       graft.query.BootstrapEval.pairedTest(s,
         s.read.parquet(s"${auxDir}/q149_deltas"), replicas = 200)
+    }),
+
+    // q150: uncooperative federated search — CORI-selected top-5 host
+    // shards, shard-LOCAL BM25 statistics (no global stats job exists in
+    // this model), belief-weighted merge
+    "q150_federated_search" -> ((s, _) => {
+      dumpTriplesOnce(s, 1000)
+      val qs = batchQueries.zipWithIndex.map { case (q, i) =>
+        (i, q.split(" ").toSeq)
+      }
+      graft.query.FederatedSearch.topK(s, makeTriples(s, 1000),
+        substring_index(substring_index(col("url"), "//", -1), "/", 1),
+        qs, topR = 5, k = 10)
     })
   )
 
@@ -4571,6 +4584,76 @@ object SparkEntry {
                 round_even(lohi.hi * 1e6, 0) / 1e6 AS ci_hi,
                 (lohi.lo > 0 OR lohi.hi < 0) AS significant
          FROM nn, obs, lohi""",
+
+    // q150: q140's CORI selection (raw-fold ranking, rounded beliefs)
+    // composed with shard-LOCAL BM25 (q142's literal shape, per-shard
+    // nd/avgdl/df) and the belief-weighted merge
+    "q150_federated_search" -> {
+      val vals = batchQueries.zipWithIndex.flatMap { case (q, qi) =>
+        q.split(" ").distinct.map(t => s"($qi, '$t')")
+      }.mkString(", ")
+      s"""WITH trf AS (SELECT url, term, tf
+                       FROM read_parquet('${auxDir}/${triplesName(1000)}/*.parquet')),
+         p AS (SELECT split_part(split_part(url, '//', 2), '/', 1) AS shard,
+                      url, term, tf
+               FROM trf),
+         stats AS (SELECT shard, term, count(*)::BIGINT AS df
+                   FROM p GROUP BY 1, 2),
+         cw AS (SELECT shard, sum(tf)::BIGINT AS cw FROM p GROUP BY 1),
+         consts AS (SELECT count(*)::INT AS c,
+                           sum(cw)::DOUBLE / count(*) AS avgcw
+                    FROM cw),
+         cf AS (SELECT term, count(*)::BIGINT AS cf FROM stats GROUP BY 1),
+         q(qid, term) AS (VALUES $vals),
+         nt AS (SELECT qid, count(DISTINCT term) AS n FROM q GROUP BY 1),
+         bel AS (SELECT q.qid, w.shard, q.term,
+                   CASE WHEN s.df IS NOT NULL AND s.df > 0 THEN
+                     0.4e0 + (1 - 0.4e0) *
+                     (s.df::DOUBLE /
+                       (s.df::DOUBLE + 50e0 + (150e0 * w.cw::DOUBLE) / k.avgcw)) *
+                     (ln((k.c + 0.5e0) / cf.cf::DOUBLE) / ln(k.c + 1.0e0))
+                   ELSE 0.4e0 END AS belief
+                 FROM q CROSS JOIN cw w CROSS JOIN consts k
+                 LEFT JOIN stats s ON s.shard = w.shard AND s.term = q.term
+                 LEFT JOIN cf ON cf.term = q.term),
+         sc AS (SELECT qid, shard,
+                  list_reduce(list_prepend(0e0, list(belief ORDER BY term)),
+                    (a, b) -> a + b) AS s
+                FROM bel GROUP BY qid, shard),
+         sc2 AS (SELECT sc.qid, sc.shard, sc.s / nt.n AS score
+                 FROM sc JOIN nt USING (qid)),
+         selr AS (SELECT qid, shard,
+                    round_even(score * 1e6, 0) / 1e6 AS belief,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, shard ASC) AS rnk
+                  FROM sc2),
+         sel AS (SELECT qid, shard, belief FROM selr WHERE rnk <= 5),
+         docs AS (SELECT shard, url, sum(tf)::BIGINT AS dl FROM p GROUP BY 1, 2),
+         sstats AS (SELECT shard, count(*)::DOUBLE AS nd,
+                           sum(dl)::DOUBLE / count(*) AS avgdl
+                    FROM docs GROUP BY 1),
+         cand AS (SELECT se.qid, p.shard, p.url, p.term, p.tf, se.belief
+                  FROM p JOIN q ON p.term = q.term
+                  JOIN sel se ON se.qid = q.qid AND se.shard = p.shard),
+         ctr AS (SELECT c.qid, c.shard, c.url, c.belief,
+                   (ln((st.nd - d.df::DOUBLE + 0.5e0) / (d.df::DOUBLE + 0.5e0) + 1.0e0)
+                     * (c.tf::DOUBLE * (1.2e0 + 1))) /
+                   (c.tf::DOUBLE + 1.2e0 *
+                     (1 - 0.75e0 + 0.75e0 * dc.dl::DOUBLE / st.avgdl)) AS cc
+                 FROM cand c
+                 JOIN stats d ON d.shard = c.shard AND d.term = c.term
+                 JOIN docs dc ON dc.shard = c.shard AND dc.url = c.url
+                 JOIN sstats st ON st.shard = c.shard),
+         fin AS (SELECT qid, shard, url, belief * sum(cc) AS f
+                 FROM ctr GROUP BY qid, shard, url, belief),
+         r AS (SELECT qid AS query_id, shard, url, f,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY f DESC, url ASC)::INTEGER AS rank
+               FROM fin)
+         SELECT query_id, shard, rank, url,
+                round_even(f * 1e6, 0) / 1e6 AS score
+         FROM r WHERE rank <= 10"""
+    },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
