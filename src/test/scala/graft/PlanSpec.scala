@@ -386,4 +386,54 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"ranked output must never be a global sort:\n$plan")
   }
+
+  test("q150 federated: query terms + shard stats broadcast, partial aggs, no cartesian") {
+    val df = SparkEntry.queries("q150_federated_search")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term and shard-stat dims must broadcast:\n$plan")
+    assert(plan.contains("partial"),
+      s"shard-local stats must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q143 clarity: equi-joined grid, partial aggs, no cartesian") {
+    val df = SparkEntry.queries("q143_clarity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"feedback-LM counts must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q147 politeness: per-host window, never a global frontier sort") {
+    val df = SparkEntry.queries("q147_politeness")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"per-host spacing is a window:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"politeness schedules must not globally sort the frontier:\n$plan")
+  }
+
+  test("q144 corpus laws: top-R terms via TakeOrdered, checkpoint-pruned doc ranks") {
+    val df = SparkEntry.queries("q144_corpus_laws")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Zipf's top-R must never be a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the checkpoint probe must be a broadcast range join, not all-pairs:\n$plan")
+  }
+
+  test("q148 ab test: one scan with map-side partial counts, no join at all") {
+    val df = SparkEntry.queries("q148_ab_test")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"arm counts must map-side combine:\n$plan")
+    // the readout sorts only its own cohort-count-sized output; the log
+    // itself is one agg pass — no join operator may appear
+    assert(!plan.contains("Join"), s"the readout is one agg pass:\n$plan")
+  }
 }
