@@ -2847,6 +2847,20 @@ object SparkEntry {
       graft.query.FederatedSearch.topK(s, makeTriples(s, 1000),
         substring_index(substring_index(col("url"), "//", -1), "/", 1),
         qs, topR = 5, k = 10)
+    }),
+
+    // q151: ordered-sequence conversion funnel over the event log —
+    // stage k reached at the earliest stage-k event strictly after the
+    // stage-(k−1) reach time
+    "q151_funnel" -> ((s, d) => {
+      graft.operators.Funnel.funnel(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // q152: weekly retention cohorts — epoch-week integer math, no
+    // timezone extraction anywhere
+    "q152_retention" -> ((s, d) => {
+      graft.operators.Retention.weekly(t(s, d, "events"), "user_id", "ts")
     })
   )
 
@@ -4654,6 +4668,45 @@ object SparkEntry {
                 round_even(f * 1e6, 0) / 1e6 AS score
          FROM r WHERE rank <= 10"""
     },
+
+    // q151: the sequential funnel replayed — per-stage min-after-prev
+    // joins, strict > on the exact parquet timestamps
+    "q151_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT 1 AS stage_idx, 'view' AS stage,
+                      count(*)::BIGINT AS users FROM s1
+               UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3),
+         b AS (SELECT users AS base FROM c WHERE stage_idx = 1)
+         SELECT stage_idx, stage, users,
+                CASE WHEN b.base > 0 THEN
+                  round_even(users::DOUBLE / b.base::DOUBLE * 1e6, 0) / 1e6
+                END AS conversion
+         FROM c CROSS JOIN b ORDER BY stage_idx""",
+
+    // q152: epoch-week integer division (`//` ↔ Spark `div`), distinct
+    // (user, week) before any count, one division per cell
+    "q152_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id AS u,
+                      epoch_us(ts) // 604800000000 AS week
+                    FROM events),
+         f AS (SELECT u, min(week) AS cohort FROM w GROUP BY 1),
+         sz AS (SELECT cohort, count(*)::BIGINT AS size FROM f GROUP BY 1),
+         cell AS (SELECT f.cohort, w.week - f.cohort AS week_offset,
+                         count(*)::BIGINT AS users
+                  FROM w JOIN f USING (u) GROUP BY 1, 2)
+         SELECT c.cohort AS cohort_week, c.week_offset, c.users,
+                round_even(c.users::DOUBLE / s.size::DOUBLE * 1e6, 0) / 1e6
+                  AS retention
+         FROM cell c JOIN sz s USING (cohort)
+         ORDER BY cohort_week, week_offset""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
