@@ -2861,6 +2861,29 @@ object SparkEntry {
     // timezone extraction anywhere
     "q152_retention" -> ((s, d) => {
       graft.operators.Retention.weekly(t(s, d, "events"), "user_id", "ts")
+    }),
+
+    // q153: HLL segment-overlap estimation — two crawl segments compared
+    // by register algebra alone (union = elementwise max, intersection by
+    // inclusion–exclusion), never a join of the raw sets; exact counts
+    // alongside show the estimate's accuracy
+    "q153_hll_overlap" -> ((s, d) => {
+      import s.implicits._
+      val doc = t(s, d, "documents")
+      val a = doc.filter(col("doc_id") < 300)
+      val b = doc.filter(col("doc_id") >= 200)
+      dumpAux(graft.ml.Sketches.hllRegisters(a, col("doc_id"), 8), "q153_reg_a")
+      dumpAux(graft.ml.Sketches.hllRegisters(b, col("doc_id"), 8), "q153_reg_b")
+      val rA = s.read.parquet(s"${auxDir}/q153_reg_a")
+      val rB = s.read.parquet(s"${auxDir}/q153_reg_b")
+      val (ea, eb, eu, ei) = graft.ml.Sketches.hllOverlap(rA, rB, 8)
+      val exactA = a.count()
+      val exactB = b.count()
+      val exactI = a.select("doc_id").intersect(b.select("doc_id")).count()
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      Seq((r6(ea), r6(eb), r6(eu), r6(ei), r6(ei / eu), exactA, exactB, exactI))
+        .toDF("est_a", "est_b", "est_union", "est_inter", "jaccard_est",
+          "exact_a", "exact_b", "exact_inter")
     })
   )
 
@@ -4707,6 +4730,47 @@ object SparkEntry {
                   AS retention
          FROM cell c JOIN sz s USING (cohort)
          ORDER BY cohort_week, week_offset""",
+
+    // q153: the estimate algebra replayed from the dumped registers —
+    // same alpha literal order, zeros contribute 2⁰ = 1 to the harmonic
+    // sum, same linear-counting branch, inclusion–exclusion on the RAW
+    // estimates; exact counts straight off documents
+    "q153_hll_overlap" ->
+      s"""WITH ra AS (SELECT bucket, max_rho
+                FROM read_parquet('${auxDir}/q153_reg_a/*.parquet')),
+         rb AS (SELECT bucket, max_rho
+                FROM read_parquet('${auxDir}/q153_reg_b/*.parquet')),
+         ru AS (SELECT bucket, max(max_rho) AS max_rho
+                FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                GROUP BY 1),
+         ea AS (SELECT CASE WHEN e <= 640 AND zeros > 0
+                            THEN 256 * ln(256e0 / zeros) ELSE e END AS v
+                FROM (SELECT (0.7213e0 / (1 + 1.079e0 / 256)) * 256 * 256 /
+                        (sum(power(2e0, -max_rho)) + (256 - count(*))) AS e,
+                        256 - count(*) AS zeros FROM ra)),
+         eb AS (SELECT CASE WHEN e <= 640 AND zeros > 0
+                            THEN 256 * ln(256e0 / zeros) ELSE e END AS v
+                FROM (SELECT (0.7213e0 / (1 + 1.079e0 / 256)) * 256 * 256 /
+                        (sum(power(2e0, -max_rho)) + (256 - count(*))) AS e,
+                        256 - count(*) AS zeros FROM rb)),
+         eu AS (SELECT CASE WHEN e <= 640 AND zeros > 0
+                            THEN 256 * ln(256e0 / zeros) ELSE e END AS v
+                FROM (SELECT (0.7213e0 / (1 + 1.079e0 / 256)) * 256 * 256 /
+                        (sum(power(2e0, -max_rho)) + (256 - count(*))) AS e,
+                        256 - count(*) AS zeros FROM ru)),
+         ex AS (SELECT
+                  (SELECT count(*) FROM documents WHERE doc_id < 300)::BIGINT AS a,
+                  (SELECT count(*) FROM documents WHERE doc_id >= 200)::BIGINT AS b,
+                  (SELECT count(*) FROM documents
+                   WHERE doc_id >= 200 AND doc_id < 300)::BIGINT AS i)
+         SELECT round_even(ea.v * 1e6, 0) / 1e6 AS est_a,
+                round_even(eb.v * 1e6, 0) / 1e6 AS est_b,
+                round_even(eu.v * 1e6, 0) / 1e6 AS est_union,
+                round_even((ea.v + eb.v - eu.v) * 1e6, 0) / 1e6 AS est_inter,
+                round_even((ea.v + eb.v - eu.v) / eu.v * 1e6, 0) / 1e6
+                  AS jaccard_est,
+                ex.a AS exact_a, ex.b AS exact_b, ex.i AS exact_inter
+         FROM ea, eb, eu, ex""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch

@@ -111,4 +111,18 @@ object Sketches {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     cols.map { case (i, c) => lookup.getOrElse((i, c), 0L) }.min
   }
+
+  /** Set-overlap estimation between two register tables by
+    * inclusion–exclusion: |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union's
+    * registers are EXACTLY the elementwise max ([[hllMerge]]'s property) —
+    * the way two 100-TB crawl segments compare url/content sets without
+    * ever joining them. Returns (estA, estB, estUnion, estIntersection);
+    * the intersection estimate can be slightly negative for near-disjoint
+    * sets (standard HLL behavior — callers clamp if they need to). */
+  def hllOverlap(regA: DataFrame, regB: DataFrame, p: Int): (Double, Double, Double, Double) = {
+    val eA = hllEstimate(regA, p)
+    val eB = hllEstimate(regB, p)
+    val eU = hllEstimate(hllMerge(regA.unionByName(regB), Nil), p)
+    (eA, eB, eU, eA + eB - eU)
+  }
 }

@@ -101,4 +101,25 @@ class SketchesSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(summed == whole)
   }
+
+  test("hll overlap: inclusion-exclusion estimates track the true overlap") {
+    import spark.implicits._
+    val a = (0L until 3000L).toDF("x")
+    val b = (2000L until 5000L).toDF("x") // true overlap 1000, union 5000
+    val regA = Sketches.hllRegisters(a, col("x"), 10)
+    val regB = Sketches.hllRegisters(b, col("x"), 10)
+    val (ea, eb, eu, ei) = Sketches.hllOverlap(regA, regB, 10)
+    assert(math.abs(ea - 3000) / 3000.0 < 0.1)
+    assert(math.abs(eb - 3000) / 3000.0 < 0.1)
+    assert(math.abs(eu - 5000) / 5000.0 < 0.1)
+    // intersection inherits both errors — generous bound, but it must
+    // clearly separate overlap-1000 from disjoint
+    assert(ei > 300 && ei < 1700)
+    assert(math.abs((ea + eb - eu) - ei) < 1e-12) // the identity itself
+    // disjoint sets estimate near zero (possibly slightly negative)
+    val c = (100000L until 103000L).toDF("x")
+    val regC = Sketches.hllRegisters(c, col("x"), 10)
+    val (_, _, _, eid) = Sketches.hllOverlap(regA, regC, 10)
+    assert(math.abs(eid) < 600)
+  }
 }
