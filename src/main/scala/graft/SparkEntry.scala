@@ -2884,6 +2884,23 @@ object SparkEntry {
       Seq((r6(ea), r6(eb), r6(eu), r6(ei), r6(ei / eu), exactA, exactB, exactI))
         .toDF("est_a", "est_b", "est_union", "est_inter", "jaccard_est",
           "exact_a", "exact_b", "exact_inter")
+    }),
+
+    // q154: DeepWalk random-walk corpus over the link graph — W=2 walks
+    // × L=4 steps per node, successors hash-derandomized over sorted
+    // neighbor lists; the oracle re-walks every path recursively
+    "q154_graph_walks" -> ((s, _) => {
+      import s.implicits._
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
+      val nodes = state0.map(_.url).toDF("node")
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst")
+      dumpAux(nodes, "q154_nodes")
+      dumpAux(edges, "q154_edges")
+      graft.ml.GraphWalks.walks(s,
+        s.read.parquet(s"${auxDir}/q154_edges"),
+        s.read.parquet(s"${auxDir}/q154_nodes"),
+        numWalks = 2, length = 4)
     })
   )
 
@@ -4771,6 +4788,27 @@ object SparkEntry {
                   AS jaccard_est,
                 ex.a AS exact_a, ex.b AS exact_b, ex.i AS exact_inter
          FROM ea, eb, eu, ex""",
+
+    // q154: every walk re-taken recursively — sorted DISTINCT neighbor
+    // lists, successor = nbrs[h60("cur|wid|step") mod deg + 1], dead ends
+    // stop early; strings and ints only, hash-exact
+    "q154_graph_walks" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT DISTINCT src, dst
+               FROM read_parquet('${auxDir}/q154_edges/*.parquet')),
+         adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
+         n AS (SELECT node FROM read_parquet('${auxDir}/q154_nodes/*.parquet')),
+         g AS (SELECT unnest(generate_series(0, 1))::INTEGER AS wid),
+         w(start, wid, step, cur) AS (
+           SELECT n.node, g.wid, 0, n.node FROM n CROSS JOIN g
+           UNION ALL
+           SELECT w.start, w.wid, w.step + 1,
+                  a.nbrs[(('0x' || substr(md5(w.cur || '|' || w.wid::VARCHAR
+                      || '|' || w.step::VARCHAR), 1, 15))::BIGINT
+                    % len(a.nbrs) + 1)::INTEGER]
+           FROM w JOIN adj a ON a.src = w.cur
+           WHERE w.step < 4)
+         SELECT start, wid, step::INTEGER AS step, cur AS node FROM w""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
