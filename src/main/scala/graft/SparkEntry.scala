@@ -2901,6 +2901,22 @@ object SparkEntry {
         s.read.parquet(s"${auxDir}/q154_edges"),
         s.read.parquet(s"${auxDir}/q154_nodes"),
         numWalks = 2, length = 4)
+    }),
+
+    // q155: BPE tokenizer training — 5 merge rounds over the corpus
+    // vocabulary; the learned merge list is the tokenizer
+    "q155_bpe_merges" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val toks = doc.select(explode(filter(
+        split(lower(col("text")), "\\s+"), t => t =!= lit(""))).as("tok"))
+      val words = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("freq"))
+        .select(concat_ws(" ",
+          filter(split(col("tok"), ""), c => c =!= lit(""))).as("w"),
+          col("freq"))
+      dumpAux(words, "q155_words")
+      graft.ml.Bpe.trainMerges(s,
+        s.read.parquet(s"${auxDir}/q155_words"), rounds = 5)
     })
   )
 
@@ -4809,6 +4825,33 @@ object SparkEntry {
            FROM w JOIN adj a ON a.src = w.cur
            WHERE w.step < 4)
          SELECT start, wid, step::INTEGER AS step, cur AS node FROM w""",
+
+    // q155: 5 unrolled BPE rounds from the dumped segmented vocabulary —
+    // identical pair counts, argmax ties, and boundary-exact fold
+    "q155_bpe_merges" -> {
+      def round(i: Int, prev: String) =
+        s""", p$i AS (SELECT u.p[1] AS l, u.p[2] AS r, sum(freq)::BIGINT AS cnt
+              FROM (SELECT freq,
+                      unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS p
+                    FROM (SELECT freq, string_split(w, ' ') AS sy
+                          FROM $prev)) u
+              GROUP BY 1, 2),
+            b$i AS (SELECT l, r, cnt FROM p$i
+                    ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+            w$i AS (SELECT list_reduce(string_split($prev.w, ' '),
+                (acc, x) -> CASE WHEN x = b$i.r AND
+                    (acc = b$i.l OR ends_with(acc, ' ' || b$i.l))
+                  THEN acc || b$i.r ELSE acc || ' ' || x END) AS w, freq
+              FROM $prev CROSS JOIN b$i)"""
+      val roundsSql = (1 to 5).map(i =>
+        round(i, if (i == 1) "w0" else s"w${i - 1}")).mkString
+      val out = (1 to 5).map(i =>
+        s"SELECT $i AS merge_idx, l, r, cnt AS pair_count FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH w0 AS (SELECT w, freq
+              FROM read_parquet('${auxDir}/q155_words/*.parquet'))$roundsSql
+         SELECT * FROM ($out) ORDER BY merge_idx"""
+    },
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch
