@@ -442,6 +442,30 @@ object SparkEntry {
        FROM scored ORDER BY score DESC, url ASC LIMIT $k"""
   }
 
+  /** Five unrolled BPE training rounds over a dumped (w, freq) segmented
+    * vocabulary: pair counts (p_i), pinned argmax (b_i), boundary-exact
+    * list_reduce re-segmentation (w_i) — shared by the q155 (merge list)
+    * and q156 (encoded vocabulary) oracles. */
+  private def bpeRoundsSql(wordsTable: String): String = {
+    def round(i: Int, prev: String) =
+      s""", p$i AS (SELECT u.p[1] AS l, u.p[2] AS r, sum(freq)::BIGINT AS cnt
+            FROM (SELECT freq,
+                    unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS p
+                  FROM (SELECT freq, string_split(w, ' ') AS sy
+                        FROM $prev)) u
+            GROUP BY 1, 2),
+          b$i AS (SELECT l, r, cnt FROM p$i
+                  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+          w$i AS (SELECT list_reduce(string_split($prev.w, ' '),
+              (acc, x) -> CASE WHEN x = b$i.r AND
+                  (acc = b$i.l OR ends_with(acc, ' ' || b$i.l))
+                THEN acc || b$i.r ELSE acc || ' ' || x END) AS w, freq
+            FROM $prev CROSS JOIN b$i)"""
+    s"""WITH w0 AS (SELECT w, freq
+            FROM read_parquet('${auxDir}/$wordsTable/*.parquet'))""" +
+      (1 to 5).map(i => round(i, if (i == 1) "w0" else s"w${i - 1}")).mkString
+  }
+
   /** DuckDB SQL for fixed-iteration PageRank over the dumped link graph:
     * one CTE per iteration (reference algebra: keep-alive, 0.85·rank/outdeg,
     * inner-join dangling drop, +0.15 flat offset). */
@@ -2917,6 +2941,35 @@ object SparkEntry {
       dumpAux(words, "q155_words")
       graft.ml.Bpe.trainMerges(s,
         s.read.parquet(s"${auxDir}/q155_words"), rounds = 5)
+    }),
+
+    // q156: the tokenizer's APPLY side — encode the vocabulary with the
+    // learned merges and report the top-20 tokens of the merged
+    // vocabulary; train + encode closes the tokenizer lifecycle
+    "q156_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val doc = t(s, d, "documents")
+      val toks = doc.select(explode(filter(
+        split(lower(col("text")), "\\s+"), t => t =!= lit(""))).as("tok"))
+      val words = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("freq"))
+        .select(concat_ws(" ",
+          filter(split(col("tok"), ""), c => c =!= lit(""))).as("w"),
+          col("freq"))
+      dumpAux(words, "q156_words")
+      val w0 = s.read.parquet(s"${auxDir}/q156_words")
+      val merges = graft.ml.Bpe.trainMerges(s, w0, rounds = 5)
+        .select(col("merge_idx"), col("l"), col("r"))
+        .as[(Int, String, String)].collect().sortBy(_._1)
+        .map(m => (m._2, m._3)).toSeq
+      val enc = graft.ml.Bpe.applyMerges(w0, merges)
+      val top = enc.select(explode(split(col("w"), " ")).as("tok"), col("freq"))
+        .groupBy(col("tok")).agg(sum(col("freq")).cast("long").as("total"))
+        .orderBy(col("total").desc, col("tok").asc).limit(20)
+        .as[(String, Long)].collect().toIndexedSeq
+      s.createDataset(top.zipWithIndex.map { case ((tok, total), i) =>
+        (i + 1, tok, total)
+      }).toDF("rank", "tok", "total")
     })
   )
 
@@ -4829,29 +4882,22 @@ object SparkEntry {
     // q155: 5 unrolled BPE rounds from the dumped segmented vocabulary —
     // identical pair counts, argmax ties, and boundary-exact fold
     "q155_bpe_merges" -> {
-      def round(i: Int, prev: String) =
-        s""", p$i AS (SELECT u.p[1] AS l, u.p[2] AS r, sum(freq)::BIGINT AS cnt
-              FROM (SELECT freq,
-                      unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS p
-                    FROM (SELECT freq, string_split(w, ' ') AS sy
-                          FROM $prev)) u
-              GROUP BY 1, 2),
-            b$i AS (SELECT l, r, cnt FROM p$i
-                    ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-            w$i AS (SELECT list_reduce(string_split($prev.w, ' '),
-                (acc, x) -> CASE WHEN x = b$i.r AND
-                    (acc = b$i.l OR ends_with(acc, ' ' || b$i.l))
-                  THEN acc || b$i.r ELSE acc || ' ' || x END) AS w, freq
-              FROM $prev CROSS JOIN b$i)"""
-      val roundsSql = (1 to 5).map(i =>
-        round(i, if (i == 1) "w0" else s"w${i - 1}")).mkString
       val out = (1 to 5).map(i =>
         s"SELECT $i AS merge_idx, l, r, cnt AS pair_count FROM b$i")
         .mkString(" UNION ALL ")
-      s"""WITH w0 AS (SELECT w, freq
-              FROM read_parquet('${auxDir}/q155_words/*.parquet'))$roundsSql
+      s"""${bpeRoundsSql("q155_words")}
          SELECT * FROM ($out) ORDER BY merge_idx"""
     },
+
+    // q156: the same 5 rounds, then the MERGED vocabulary's token stats
+    // from w5 — the encode side verified off the training chain's output
+    "q156_bpe_encode" ->
+      s"""${bpeRoundsSql("q156_words")},
+         tok AS (SELECT unnest(string_split(w, ' ')) AS tok, freq FROM w5),
+         tc AS (SELECT tok, sum(freq)::BIGINT AS total FROM tok GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY total DESC, tok ASC)::INTEGER
+                  AS rank, tok, total
+         FROM tc ORDER BY total DESC, tok ASC LIMIT 20""",
 
     // q128: bucket-join candidates from the dumped bands, q24's shingle
     // Jaccard over the reconstructed corpora, dup_existing > dup_batch

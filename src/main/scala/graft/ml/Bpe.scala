@@ -31,6 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  private def sy = split(col("w"), " ")
+
+  /** The boundary-exact greedy re-segmentation fold for one merge rule
+    * (see object doc) — shared by training and encoding. */
+  private def mergeExpr(l: String, r: String) =
+    aggregate(
+      slice(sy, lit(2), size(sy) - 1), element_at(sy, 1),
+      (acc, x) => when(x === lit(r) &&
+          (acc === lit(l) || endswith(acc, lit(" " + l))),
+        concat(acc, lit(r))).otherwise(concat(acc, lit(" "), x)))
+
+  /** ENCODE: apply an already-learned merge list (in rank order) to
+    * (w, freq) words — the tokenizer's apply side; one narrow map per
+    * merge, no shuffles at all. */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words.select(col("w"), col("freq"))) {
+      case (df, (l, r)) => df.select(mergeExpr(l, r).as("w"), col("freq"))
+    }
+
   /** Learn `rounds` merges over (w, freq) words. Returns
     * (merge_idx, l, r, pair_count); stops early if no pairs remain. */
   def trainMerges(spark: SparkSession, words: DataFrame,
@@ -38,7 +57,6 @@ object Bpe {
     require(rounds >= 1, s"need at least one round: $rounds")
     import spark.implicits._
 
-    def sy = split(col("w"), " ")
     var w = words.select(col("w"), col("freq").cast("long").as("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -57,12 +75,7 @@ object Bpe {
       else {
         val (l, r, cnt) = best(0)
         merges += ((i, l, r, cnt))
-        val merged = aggregate(
-          slice(sy, lit(2), size(sy) - 1), element_at(sy, 1),
-          (acc, x) => when(x === lit(r) &&
-              (acc === lit(l) || endswith(acc, lit(" " + l))),
-            concat(acc, lit(r))).otherwise(concat(acc, lit(" "), x)))
-        w = w.select(merged.as("w"), col("freq")).localCheckpoint()
+        w = w.select(mergeExpr(l, r).as("w"), col("freq")).localCheckpoint()
         i += 1
       }
     }
