@@ -106,6 +106,7 @@ object SparkEntry {
         it.remove()
         indexCache.keySet.removeIf(_._1 == app)
         searcherCache.keySet.removeIf(_._1 == app)
+        linkGraphCache.keySet.removeIf(_._1 == app)
       }
     }
   }
@@ -134,6 +135,45 @@ object SparkEntry {
     purgeStoppedSessions(s)
     searcherCache.computeIfAbsent((s.sparkContext.applicationId, n), _ =>
       graft.query.Searcher.fromIndex(builtFor(s, n), n))
+  }
+
+  /** The n-page link GRAPH is, like the index, an ARTIFACT of the corpus:
+    * ten link-analysis queries (q68/q75/q78/q83/q88/q92/q118/q135/q139/
+    * q154) all derive the same (nodes, edges) frames from the SAME
+    * `PageRank.init` over the same seed-42 corpus. Extracted + persisted
+    * once per session as RELATIONAL DataFrames — columnar cache, no typed
+    * RankState re-deserialization per leaf scan (caching the typed Dataset
+    * measured ~3x SLOWER on multi-leaf consumers like q92: 66 object-
+    * decoding cache scans beat by the raw pipeline) — instead of re-running
+    * the page-parse/link-extraction pipeline once per query. Same artifact
+    * discipline and appId-keyed lifecycle as `builtFor`. Results are
+    * unchanged: every consumer reads the same deterministic rows it
+    * previously recomputed. (q32/q116 consume the typed RankState — their
+    * converge loop builds it fresh, as before.) */
+  private val linkGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (DataFrame, DataFrame)]()
+  private def linkGraphFor(s: SparkSession, n: Int): (DataFrame, DataFrame) = {
+    purgeStoppedSessions(s)
+    linkGraphCache.computeIfAbsent((s.sparkContext.applicationId, n), _ => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // the parent typed state is deliberately NOT persisted: unpersisting
+      // it after the children materialize makes the CacheManager rebuild
+      // the dependent entries, and later scans silently recompute the whole
+      // raw pipeline (measured: q92's plan regrew to 66 Range leaves / 200
+      // Exchanges). Two init runs (one per child count) are the cheaper,
+      // correct trade.
+      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, n))
+      // no repartition before the persist: a Repartition node in the cached
+      // plan defeats the CacheManager's subtree matching for consumers built
+      // from the same frames (measured: 1 of 34 leaves hit the cache), and a
+      // columnar scan of these tiny frames doesn't need parallelism
+      val nodes = state0.map(_.url).toDF("url").persist(lvl)
+      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
+        .toDF("src", "dst").persist(lvl)
+      nodes.count(); edges.count()
+      (nodes, edges)
+    })
   }
 
   /** Partition count for the in-query corpus index builds: these corpora
@@ -928,10 +968,10 @@ object SparkEntry {
     // reference's CONVERGENCE semantics are oracle-tested in PageRankSpec
     "q32_pagerank" -> ((s, _) => {
       import s.implicits._
+      val (nodes, edges) = linkGraphFor(s, 500)
+      dumpAux(nodes, "q32_nodes")
+      dumpAux(edges, "q32_edges")
       val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      dumpAux(state0.map(_.url).toDF("url"), "q32_nodes")
-      dumpAux(state0.flatMap(st => st.links.map(l => (st.url, l))).toDF("src", "dst"),
-        "q32_edges")
       val (ranks, _) = graft.rank.PageRank.run(s, state0,
         threshold = -1.0, percent = 2.0, maxIter = 15)
       ranks.map(r => (r.url, math.rint(r.rank * 1e6) / 1e6)).toDF("url", "rank")
@@ -1507,10 +1547,7 @@ object SparkEntry {
     // 500-page link graph, oracle = 16-CTE unrolled SQL ----
     "q68_hits" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val nodes = state0.map(_.url).toDF("url")
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (nodes, edges) = linkGraphFor(s, 500)
       dumpAux(nodes, "q68_nodes")
       dumpAux(edges, "q68_edges")
       graft.rank.Hits.run(nodes, edges, iters = 8)
@@ -1595,10 +1632,7 @@ object SparkEntry {
     // 500-page graph q68 analyzes), capped at a 25-url per-host budget ----
     "q75_frontier" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val nodes = state0.map(_.url).toDF("url")
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (nodes, edges) = linkGraphFor(s, 500)
       dumpAux(nodes, "q75_nodes")
       dumpAux(edges, "q75_edges")
       val indeg = edges.groupBy(col("dst").as("url"))
@@ -1650,9 +1684,7 @@ object SparkEntry {
     // with hub targets capped BEFORE the quadratic self-join ----
     "q78_related_pages" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (_, edges) = linkGraphFor(s, 500)
       dumpAux(edges, "q78_edges")
       graft.rank.RelatedPages.biblioCoupling(edges, maxIndegree = 25, k = 20)
     }),
@@ -1745,10 +1777,8 @@ object SparkEntry {
     // oracle is an independent recursive-CTE reachability expansion ----
     "q83_bfs_depth" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
-      val seeds = state0.map(_.url).toDF("url")
+      val (nodes, edges) = linkGraphFor(s, 500)
+      val seeds = nodes
         .filter(col("url").endsWith("/p/0") || col("url").endsWith("/p/250"))
       dumpAux(edges, "q83_edges")
       dumpAux(seeds, "q83_seeds")
@@ -1816,10 +1846,7 @@ object SparkEntry {
     // frontier filter keeps early rounds sparse without changing values ----
     "q88_personalized_pagerank" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val nodes = state0.map(_.url).toDF("url")
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (nodes, edges) = linkGraphFor(s, 500)
       val seeds = nodes
         .filter(col("url").endsWith("/p/0") || col("url").endsWith("/p/250"))
       dumpAux(nodes, "q88_nodes")
@@ -1937,6 +1964,11 @@ object SparkEntry {
     // undirected edges ----
     "q92_triangles" -> ((s, _) => {
       import s.implicits._
+      // deliberately NOT the linkGraphFor cache: the wedge join's ~36-join
+      // plan re-plans every join as a separate static BroadcastExchange once
+      // the cached frame carries accurate tiny stats (36 sequential driver
+      // broadcast builds ≈ +2s), where the unknown-stats raw pipeline keeps
+      // shuffle exchanges that ReuseExchange dedupes — measured 1.5s vs 3.3s
       val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
       val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
         .toDF("src", "dst")
@@ -2309,13 +2341,13 @@ object SparkEntry {
     // edges2) from scratch, so the warm algebra is checked end-to-end ----
     "q116_pagerank_warmstart" -> ((s, _) => {
       import s.implicits._
+      val (nodes, edges) = linkGraphFor(s, 500)
+      dumpAux(nodes, "q116_nodes")
+      dumpAux(edges, "q116_edges1")
       val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      dumpAux(state0.map(_.url).toDF("url"), "q116_nodes")
-      dumpAux(state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst"), "q116_edges1")
       val (v1, _) = graft.rank.PageRank.run(s, state0,
         threshold = -1.0, percent = 2.0, maxIter = 10)
-      val minUrl = state0.map(_.url).toDF("u").agg(min("u")).head().getString(0)
+      val minUrl = nodes.agg(min("url")).head().getString(0)
       val state2 = state0.map { st =>
         if (st.url.endsWith("1") && st.url != minUrl && !st.links.contains(minUrl))
           st.copy(links = st.links :+ minUrl)
@@ -2350,9 +2382,7 @@ object SparkEntry {
     // coupling implementation ----
     "q118_cocitation" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (_, edges) = linkGraphFor(s, 500)
       dumpAux(edges, "q118_edges")
       graft.rank.RelatedPages.coCitation(edges, maxOutdegree = 25, k = 20)
     }),
@@ -2618,10 +2648,7 @@ object SparkEntry {
     // UNROUNDED doubles both sides; outputs rounded like q88/q32 ----
     "q135_trustrank" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val nodes = state0.map(_.url).toDF("url")
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (nodes, edges) = linkGraphFor(s, 500)
       val trusted = nodes.filter(col("url").endsWith("/p/0") ||
         col("url").endsWith("/p/100") || col("url").endsWith("/p/200"))
       dumpAux(nodes, "q135_nodes")
@@ -2693,10 +2720,7 @@ object SparkEntry {
     // Mass-conserving updates, so no per-round normalization to replay ----
     "q139_salsa" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val nodes = state0.map(_.url).toDF("url")
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (nodes, edges) = linkGraphFor(s, 500)
       dumpAux(nodes, "q139_nodes")
       dumpAux(edges, "q139_edges")
       graft.rank.Salsa.run(s, nodes, edges, iters = 8)
@@ -2915,10 +2939,8 @@ object SparkEntry {
     // neighbor lists; the oracle re-walks every path recursively
     "q154_graph_walks" -> ((s, _) => {
       import s.implicits._
-      val state0 = graft.rank.PageRank.init(s, graft.corpus.Corpus.generate(s, 500))
-      val nodes = state0.map(_.url).toDF("node")
-      val edges = state0.flatMap(st => st.links.map(l => (st.url, l)))
-        .toDF("src", "dst")
+      val (nodesUrl, edges) = linkGraphFor(s, 500)
+      val nodes = nodesUrl.select(col("url").as("node"))
       dumpAux(nodes, "q154_nodes")
       dumpAux(edges, "q154_edges")
       graft.ml.GraphWalks.walks(s,

@@ -35,37 +35,44 @@ object Hits {
     live.count()
 
     // one half-step: raw(url) = Σ score over `live` keyed by `outKey`,
-    // zero-filled over all nodes, then max-normalized (all-zero → kept raw)
+    // zero-filled over all nodes, then max-normalized (all-zero → kept raw).
+    // The RAW frame is the checkpointed one; the max-normalization stays a
+    // LAZY one-expression projection on top of it (raw/m is deterministic,
+    // so every consumer computes the identical doubles) — this halves the
+    // eager jobs per half-step vs checkpointing the normalized frame too,
+    // leaving one checkpoint job plus one trivial max over cached blocks.
     def half(scores: DataFrame, scoreCol: String, joinKey: String,
-             outKey: String, outCol: String): DataFrame = {
+             outKey: String, outCol: String): (DataFrame, DataFrame) = {
       val raw = nodesP
         .join(live.join(scores.withColumnRenamed("url", joinKey), Seq(joinKey))
           .groupBy(col(outKey).as("url")).agg(sum(col(scoreCol)).as("v")),
           Seq("url"), "left")
         .select(col("url"), coalesce(col("v"), lit(0.0)).as("raw"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager: bounds lineage to this half-step
       val m = raw.agg(max(col("raw"))).head().getDouble(0)
       val out = raw.select(col("url"),
-          (if (m == 0.0) col("raw") else col("raw") / m).as(outCol))
-        .localCheckpoint() // eager: bounds lineage to this half-step
-      raw.unpersist()
-      out
+        (if (m == 0.0) col("raw") else col("raw") / m).as(outCol))
+      (out, raw)
     }
 
     var hub = nodesP.select(col("url"), lit(1.0).as("hub")).localCheckpoint()
     var auth: DataFrame = null
+    var hubRaw: DataFrame = hub
+    var authRaw: DataFrame = null
     for (_ <- 1 to iters) {
-      val nextAuth = half(hub, "hub", "src", "dst", "auth")
-      if (auth != null) auth.unpersist()
-      auth = nextAuth
-      val nextHub = half(auth, "auth", "dst", "src", "hub")
-      hub.unpersist()
-      hub = nextHub
+      val (nextAuth, nextAuthRaw) = half(hub, "hub", "src", "dst", "auth")
+      // the new auth checkpoint is materialized — the PREVIOUS auth raw
+      // (two half-steps back) can release its blocks now
+      if (authRaw != null) authRaw.unpersist()
+      auth = nextAuth; authRaw = nextAuthRaw
+      val (nextHub, nextHubRaw) = half(auth, "auth", "dst", "src", "hub")
+      hubRaw.unpersist()
+      hub = nextHub; hubRaw = nextHubRaw
     }
     val result = hub.join(auth, Seq("url"))
       .select(col("url"), col("hub"), col("auth"))
       .localCheckpoint()
-    hub.unpersist(); auth.unpersist(); live.unpersist(); nodesP.unpersist()
+    hubRaw.unpersist(); authRaw.unpersist(); live.unpersist(); nodesP.unpersist()
     result
   }
 }

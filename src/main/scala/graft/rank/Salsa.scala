@@ -43,28 +43,40 @@ object Salsa {
     val indeg = e0.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
     val live = e0.join(outdeg, Seq("src")).join(indeg, Seq("dst")).persist()
 
+    // ONE materialization barrier per round (was two): the round's auth
+    // frame stays a LAZY subplan of the hub checkpoint — auth's zero-filled
+    // rows only ever contribute exact +0.0 terms to the hub sums, so
+    // feeding the aggregation output (un-zero-filled) straight into the
+    // hub half computes bit-identical hub values with one fewer join and
+    // one fewer eager job per round. The final zero-filled auth frame is
+    // reconstructed once from the second-to-last hub checkpoint.
+    def aMassOf(hub: DataFrame): DataFrame = live
+      .join(hub.select(col("url").as("src"), col("hub")), Seq("src"))
+      .groupBy(col("dst"))
+      .agg(sum(col("hub") / col("outdeg")).as("mass"))
     var h = n.select(col("url"), lit(1.0).as("hub")).localCheckpoint()
-    var a: DataFrame = null
+    var hPrev: DataFrame = null
     var i = 0
     while (i < iters) {
       i += 1
-      val aMass = live
-        .join(h.select(col("url").as("src"), col("hub")), Seq("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("hub") / col("outdeg")).as("mass"))
-      a = n.join(aMass, n("url") === aMass("dst"), "left")
-        .select(n("url"), coalesce(col("mass"), lit(0.0)).as("auth"))
-        .localCheckpoint()
+      val hOld = hPrev
+      hPrev = h
       val hMass = live
-        .join(a.select(col("url").as("dst"), col("auth")), Seq("dst"))
+        .join(aMassOf(h).select(col("dst"), col("mass").as("auth")), Seq("dst"))
         .groupBy(col("src"))
         .agg(sum(col("auth") / col("indeg")).as("mass"))
       h = n.join(hMass, n("url") === hMass("src"), "left")
         .select(n("url"), coalesce(col("mass"), lit(0.0)).as("hub"))
         .localCheckpoint()
+      if (hOld != null) hOld.unpersist() // checkpoint blocks of round i−2
     }
+    val aM = aMassOf(hPrev)
+    val a = n.join(aM, n("url") === aM("dst"), "left")
+      .select(n("url"), coalesce(col("mass"), lit(0.0)).as("auth"))
     val out = h.join(a, Seq("url")).select(col("url"), col("hub"), col("auth"))
       .localCheckpoint()
+    if (hPrev != null) hPrev.unpersist()
+    h.unpersist()
     live.unpersist()
     n.unpersist()
     out
