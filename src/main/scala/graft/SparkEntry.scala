@@ -1837,8 +1837,13 @@ object SparkEntry {
     // token spans covered by corpus-repeated 10-grams, merged with the
     // gaps-and-islands window; only the rare (doc, pos) hits shuffle — the
     // text never does. The oracle replays the same gram/merge algebra. ----
+    // hashedGrams: the count/join keys are xxhash64(gram) — 8-byte shuffle
+    // keys, the at-scale mode; results identical to the string path on this
+    // corpus (DupSpansSpec pins flag-on ≡ flag-off; the unchanged string-
+    // semantics oracle below keeps hash-matching)
     "q87_dup_spans" -> ((s, d) =>
-      graft.ml.DupSpans.spans(t(s, d, "documents"), "doc_id", "text", n = 10)),
+      graft.ml.DupSpans.spans(t(s, d, "documents"), "doc_id", "text", n = 10,
+        hashedGrams = true)),
 
     // ---- personalized PageRank: 0.85-damped walks restarting at a 2-url
     // seed set over the q32-style link graph, 10 fixed power-iteration
@@ -1861,9 +1866,12 @@ object SparkEntry {
     // ---- asymmetric containment near-dup pairs (Broder): shared df-capped
     // 8-grams over min(|A|,|B|) — catches "short doc inside long doc" that
     // Jaccard (q24) and MinHash (q22) structurally miss ----
+    // hashedGrams: distinct/df-window/self-join all key on xxhash64(gram)
+    // (8-byte keys; the self-join's Sigma-df-squared shuffle shrinks ~8x);
+    // ContainmentSpec pins flag-on ≡ flag-off, oracle unchanged
     "q89_containment" -> ((s, d) =>
       graft.ml.Containment.pairs(t(s, d, "documents"), "doc_id", "text",
-          n = 8, maxGramDf = 50, minContainment = 0.5)
+          n = 8, maxGramDf = 50, minContainment = 0.5, hashedGrams = true)
         .withColumn("containment", round(col("containment"), 6))),
 
     // ---- STREAM-STREAM event-time interval join (click attribution):

@@ -33,17 +33,37 @@ object Containment {
     *         computed over the df-capped gram sets. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             n: Int = 8, maxGramDf: Long = 50,
-            minContainment: Double = 0.5): DataFrame = {
+            minContainment: Double = 0.5,
+            hashedGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     require(maxGramDf >= 2, s"maxGramDf < 2 keeps no shareable gram: $maxGramDf")
-    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(wordGrams(col(textCol), n)).as("gram"))
+    // hashed mode (the at-scale key): every downstream op — the distinct,
+    // the df window's shuffle+sort, and the Σdf²-bounded self-join — keys
+    // on xxhash64(gram): 8-byte keys instead of ~60-byte 8-gram strings.
+    // A 64-bit collision merges two grams (slightly inflating shared/size
+    // counts, symmetric on both sides); expected collisions ~g²/2^65.
+    // ContainmentSpec pins flag-on ≡ flag-off on the oracle corpora; the
+    // string path stays the default contract.
+    val exploded = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(wordGrams(col(textCol), n)).as("gram"))
+    val grams =
+      (if (hashedGrams)
+         exploded.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+       else exploded)
       .distinct()
+    // kept is consumed THREE times (sizes, both self-join sides); without a
+    // materialization barrier the tokenize+distinct+window subtree inlines
+    // into every consumer (measured: 8 Generate nodes in the q89 plan — the
+    // posexplode tokenize ran ~8x via the broadcast builds). One eager
+    // localCheckpoint runs it once; the narrow (doc_id, gram) rows are the
+    // cheapest frame in the pipeline to hold (8-byte keys under
+    // `hashedGrams`), and the blocks release with the plan (ContextCleaner).
     val kept = grams
       .withColumn("_df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
       .filter(col("_df") <= maxGramDf)
       .select(col("doc_id"), col("gram"))
+      .localCheckpoint()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nk"))
     val shared = kept.select(col("doc_id").as("doc_a"), col("gram"))
       .join(kept.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   * never shuffles); and overlapping hits merge into maximal spans with the
   * gaps-and-islands window (all intervals share length n, so "overlaps or
   * touches the previous" is exactly `pos − lag(pos) ≤ n` — no running-max
-  * needed). At web scale the gram-count shuffle keys would be 64-bit gram
-  * hashes instead of the strings (8-byte shuffle keys; a collision merely
-  * over-marks a span) with head-gram salting as in the index build — kept
-  * as strings here because the DuckDB oracle proves exact equality on the
-  * string semantics, and the swap is a one-line key change.
+  * needed).
+  *
+  * `hashedGrams` (the at-scale key mode): the gram-count aggregation and
+  * the hit semi-join key on `xxhash64(gram)` — 8-byte shuffle keys instead
+  * of ~60-80-byte gram strings, the same narrow-key discipline as the
+  * index build's dictionary ids. A 64-bit collision can only ADD a
+  * spurious duplicated position (it merges two grams' counts upward), i.e.
+  * over-mark a span — it can never unmark one; expected collisions are
+  * ~g²/2^65 (≪1 below 10^9 distinct grams — far past any single-corpus
+  * gram table). DupSpansSpec pins flag-on ≡ flag-off on the oracle
+  * corpora; the string path stays the default contract.
   */
 object DupSpans {
 
@@ -41,16 +47,28 @@ object DupSpans {
     *         0-based inclusive; dup_tokens = span length. Documents with
     *         no duplicated n-gram emit no rows. */
   def spans(docs: DataFrame, idCol: String, textCol: String,
-            n: Int = 10, minCount: Long = 2): DataFrame = {
+            n: Int = 10, minCount: Long = 2,
+            hashedGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     require(minCount >= 2, s"minCount < 2 marks every gram, got $minCount")
-    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+    val rawGrams = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(wordGramsWithPos(col(textCol), n)).as(Seq("pos", "gram")))
-    val dupGrams = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select(col("gram"))
-    val hits = grams.join(dupGrams, Seq("gram"), "left_semi")
+    // hashed mode: the gram string never leaves the map side — only the
+    // 8-byte key enters the count shuffle and the semi-join
+    val grams =
+      if (hashedGrams) rawGrams.select(col("doc_id"), col("pos"),
+        xxhash64(col("gram")).as("gram"))
+      else rawGrams
+    // corpus frequency as ONE window over the gram key instead of the
+    // groupBy + semi-join pair: the gram table (and its posexplode
+    // tokenize, the dominant per-row cost) is derived once, and the plan
+    // pays one gram-keyed exchange instead of two. count over the whole
+    // partition = the same corpus-wide occurrence count (within-doc
+    // repeats included) the aggregation produced.
+    val wGram = Window.partitionBy(col("gram"))
+    val hits = grams
+      .withColumn("_cnt", count(lit(1)).over(wGram))
+      .filter(col("_cnt") >= minCount)
       .select(col("doc_id"), col("pos"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = hits

@@ -47,4 +47,18 @@ class ContainmentSpec extends AnyFunSuite {
     // doc 8 distinct grams: {abc, bca, cab, abc} → {a b c, b c a, c a b}
     assert(got((8L, 9L)) == (1L, 3L, 1L, 1.0), got.toString)
   }
+
+  test("hashedGrams mode returns the exact string-key results") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e", 2L -> "x y a b c d e z", 3L -> "p q r s",
+      4L -> "q r s t u", 5L -> "m n o", 6L -> "m n o w", 7L -> "z m n o",
+      8L -> "a b c a b c", 9L -> "a b c").toDF("doc_id", "text")
+    val str = Containment.pairs(docs, "doc_id", "text", n = 3)
+      .collect().map(_.toSeq).toSet
+    val hsh = Containment.pairs(docs, "doc_id", "text", n = 3,
+        hashedGrams = true)
+      .collect().map(_.toSeq).toSet
+    assert(hsh == str, s"hashed-gram pairs diverge:\n$hsh\nvs\n$str")
+  }
 }

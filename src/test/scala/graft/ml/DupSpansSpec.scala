@@ -63,4 +63,19 @@ class DupSpansSpec extends AnyFunSuite {
   test("short docs and unique text emit nothing") {
     assert(run(Seq(15L -> "a b", 16L -> "q w e r t y"), n = 3).isEmpty)
   }
+
+  test("hashedGrams mode returns the exact string-key results") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f", 2L -> "x a b c y z", 3L -> "p q r s t",
+      4L -> "p q r x x x r s t", 5L -> "h i j k l m",
+      6L -> "h i j z z k l m", 7L -> "a b c z w d e f g",
+      8L -> "a b c", 9L -> "d e f", 10L -> "e f g",
+      11L -> "m n o w w m n o").toDF("doc_id", "text")
+    val str = DupSpans.spans(docs, "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val hsh = DupSpans.spans(docs, "doc_id", "text", 3, hashedGrams = true)
+      .collect().map(_.toSeq).toSet
+    assert(hsh == str, s"hashed-gram spans diverge:\n$hsh\nvs\n$str")
+  }
 }
