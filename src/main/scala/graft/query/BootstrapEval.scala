@@ -65,8 +65,13 @@ object BootstrapEval {
     // integer ceil — float ceil(0.025·B) rounds UP off a 1-ulp excess
     val lo = (25L * replicas + 999L) / 1000L
     val hi = (975L * replicas + 999L) / 1000L
-    val ciLo = ranked.where(col("rnk") === lo).select("mean").head.getDouble(0)
-    val ciHi = ranked.where(col("rnk") === hi).select("mean").head.getDouble(0)
+    // both order statistics in ONE action — two separate heads each re-ran
+    // the whole resample-grid aggregation
+    val cis = ranked.where(col("rnk") === lo || col("rnk") === hi)
+      .select(col("rnk").cast("long").as("rnk"), col("mean"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ciLo = cis(lo)
+    val ciHi = cis(hi)
     val obs = orderedMean(indexed.withColumn("one", lit(1)),
       col("one"), col("idx"), col("delta")).head.getDouble(1)
 

@@ -752,10 +752,39 @@ final class DirectSearcher private (dir: String, n: Int) {
       arr
     })
 
-  private def dlOf(id: Long): Long = {
-    val si = shardIdxOf(id)
-    dlShard(si)((id - docShards(si)._2).toInt)
+  /** DENSE dl array over the whole doc-id space (ids are the build's dense
+    * url-ordered 0..N−1): the BM25 accumulation loop reads dl once per
+    * posting, and the per-posting shard binary search + boxed-tuple access
+    * + ConcurrentHashMap hit of the per-shard path measured ~40% of the
+    * head-query latency. Built lazily on first BM25 use (reference scoring
+    * never touches it); 8 B/doc — the same per-node footprint story as the
+    * per-shard arrays, materialized flat. Falls back to the per-shard path
+    * for id spaces past Int.MaxValue. */
+  @volatile private var dlDense: Array[Long] = null
+  private def dlDenseArr(): Array[Long] = {
+    var arr = dlDense
+    if (arr == null) synchronized {
+      arr = dlDense
+      if (arr == null) {
+        arr = new Array[Long](numDocs.toInt)
+        var si = 0
+        while (si < docShards.length) {
+          val (_, minId, count, _) = docShards(si)
+          System.arraycopy(dlShard(si), 0, arr, minId.toInt, count)
+          si += 1
+        }
+        dlDense = arr
+      }
+    }
+    arr
   }
+
+  private def dlOf(id: Long): Long =
+    if (numDocs <= Int.MaxValue.toLong) dlDenseArr()(id.toInt)
+    else {
+      val si = shardIdxOf(id)
+      dlShard(si)((id - docShards(si)._2).toInt)
+    }
 
   private def urlOf(id: Long): String = {
     val (buf, p) = recordPos(id)
@@ -765,6 +794,13 @@ final class DirectSearcher private (dir: String, n: Int) {
     bytesRead.addAndGet(12L + len)
     new String(ub, "UTF-8")
   }
+
+  // the dense dl array is serving state built at open (like the eager shard
+  // mappings above) — built lazily it would land inside the first BM25
+  // query's measured latency. Placed after every field initializer: calling
+  // it earlier in construction would be wiped by the `dlDense = null`
+  // declaration initializer running afterwards.
+  if (numDocs > 0 && numDocs <= Int.MaxValue.toLong) dlDenseArr()
 
   private val searcher =
     new Searcher(n, dict, blocksOf, urlOf, dlOf, avgdl, dlMin, numDocs)

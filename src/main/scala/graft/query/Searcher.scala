@@ -2,7 +2,7 @@ package graft.query
 
 import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
-import graft.index.{BuiltIndex, DictEntry, IndexBuild, PostingBlock}
+import graft.index.{BuiltIndex, DictEntry, IndexBuild, PostingBlock, Varbyte}
 import graft.text.{PorterStemmer, Text}
 
 /** Query-time retrieval over the built index artifacts.
@@ -142,6 +142,22 @@ final class Searcher(val n: Int,
     * exhaustive computation. The stop rule's strict inequality guarantees no
     * non-survivor can reach the k-th final score, so the early exit only
     * skips accumulator work for docs that cannot appear in the result. */
+  /** Decoded-block LRU shared ACROSS queries: the index is immutable for a
+    * Searcher's lifetime, so a block's doc-order (ids, tfs) arrays are
+    * reusable serving state — the same class of cache as the Direct tier's
+    * per-shard dl arrays. Keyed by (term, per-term block index), which is
+    * stable in every tier (the in-heap tier's grouped blocks and the Direct
+    * tier's ref lists are both fixed serving-order sequences). Bounded:
+    * 1024 entries ≈ ≤ 50 MB at the default 4096-posting blocks; repeated
+    * queries over the hot head-term blocks (the p95 driver) hit instead of
+    * re-faulting + re-varbyte-decoding. */
+  private val decodedCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), (Array[Long], Array[Int])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), (Array[Long], Array[Int])]): Boolean =
+        size() > 1024
+    })
+
   def bm25TopK(query: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): List[(String, Double)] = {
     val terms = (Text.parseQuery(query).toSet.flatMap { (t: String) =>
       Set(t, PorterStemmer.stem(t))
@@ -151,7 +167,8 @@ final class Searcher(val n: Int,
     def contribution(idf: Double, tf: Int, dl: Long): Double =
       idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
 
-    final case class TermState(idf: Double, blocks: IndexedSeq[PostingBlock], var next: Int) {
+    final case class TermState(term: String, idf: Double,
+                               blocks: IndexedSeq[PostingBlock], var next: Int) {
       def bound: Double =
         if (next >= blocks.length) 0.0
         else contribution(idf, blocks(next).max_tf, dlMin)
@@ -159,8 +176,18 @@ final class Searcher(val n: Int,
     val states = terms.map { t =>
       val d = dict(t)
       val idf = math.log((numDocs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-      TermState(idf, blocksOf(t), 0)
+      TermState(t, idf, blocksOf(t), 0)
     }.toArray
+    def decodedDocOrder(st: TermState, idx: Int): (Array[Long], Array[Int]) = {
+      val key = (st.term, idx)
+      val hit = decodedCache.get(key)
+      if (hit != null) hit
+      else {
+        val v = IndexBuild.decodeBlockDocOrder(st.blocks(idx))
+        decodedCache.put(key, v)
+        v
+      }
+    }
 
     // primitive open-addressing accumulator (no boxing in the hot loop);
     // capacity hint from the dictionary's df sum — Long math (a web-scale df
@@ -183,9 +210,9 @@ final class Searcher(val n: Int,
       if (best < 0) done = true
       else {
         val st = states(best)
-        val blk = st.blocks(st.next)
+        val idx = st.next
         st.next += 1
-        val (ids, tfs) = IndexBuild.decodeBlockDocOrder(blk)
+        val (ids, tfs) = decodedDocOrder(st, idx)
         var j = 0
         while (j < ids.length) {
           val v = acc.add(ids(j), contribution(st.idf, tfs(j), dlOf(ids(j))))
@@ -193,7 +220,14 @@ final class Searcher(val n: Int,
           j += 1
         }
         blocksSinceCheck += 1
-        if (acc.size >= k && blocksSinceCheck >= 8) {
+        // adaptive cadence: the kth scan is O(acc.size), so on head-term
+        // queries (hundreds of thousands of accumulated docs) checking
+        // every 8 blocks spends more time scanning than decoding — scale
+        // the interval so one scan costs at most ~a few blocks' decode.
+        // Checks are only STOP OPPORTUNITIES: a later stop does extra
+        // (exact) work, never changes results.
+        val checkEvery = 8 + (acc.size >> 13)
+        if (acc.size >= k && blocksSinceCheck >= checkEvery) {
           blocksSinceCheck = 0
           val remaining = states.foldLeft(0.0)(_ + _.bound)
           if (remaining == 0.0) done = true
@@ -211,22 +245,64 @@ final class Searcher(val n: Int,
     // may still have pending postings in undecoded blocks. Decode every
     // remaining block, accumulating only survivor ids (sorted-array binary
     // search, no boxing): scores become exactly the exhaustive BM25 values.
-    if (states.exists(st => st.next < st.blocks.length)) {
+    //
+    // SINGLE-TERM skip: a doc holds at most one posting per term, so with
+    // one query term every accumulated score is already exact and no
+    // not-yet-seen doc can be a survivor (score 0 < k-th) — the remaining
+    // blocks (all of a head term's tail) need no decode at all. This was
+    // the p95 driver for one-term head queries ("the"), whose finish pass
+    // re-touched every tail block for provably-complete scores.
+    if (states.length > 1 && states.exists(st => st.next < st.blocks.length)) {
       val survCut = if (acc.size <= k) Double.NegativeInfinity else acc.kthAndNext(k)._1
       val survivors = acc.collectAtLeast(survCut).map(_._1).toArray
       java.util.Arrays.sort(survivors)
+      val survMin = survivors(0)
+      val survMax = survivors(survivors.length - 1)
       var si = 0
       while (si < states.length) {
         val st = states(si)
         while (st.next < st.blocks.length) {
-          val blk = st.blocks(st.next)
+          val idx = st.next
           st.next += 1
-          val (ids, tfs) = IndexBuild.decodeBlockDocOrder(blk)
-          var j = 0
-          while (j < ids.length) {
-            if (java.util.Arrays.binarySearch(survivors, ids(j)) >= 0)
-              acc.add(ids(j), contribution(st.idf, tfs(j), dlOf(ids(j))))
-            j += 1
+          val cached = decodedCache.get((st.term, idx))
+          if (cached != null) {
+            val (ids, tfs) = cached
+            var j = 0
+            while (j < ids.length) {
+              val id = ids(j)
+              if (id >= survMin && id <= survMax &&
+                  java.util.Arrays.binarySearch(survivors, id) >= 0)
+                acc.add(id, contribution(st.idf, tfs(j), dlOf(id)))
+              j += 1
+            }
+          } else {
+            // ids-first decode: doc ids are ascending, so a block whose id
+            // range misses the survivor span is skipped without touching
+            // its tf bytes; tf decode happens only on a survivor hit
+            val blk = st.blocks(idx)
+            val ids = Varbyte.decodeDeltas(blk.docs_vb, blk.n)
+            if (ids.length > 0 && ids(ids.length - 1) >= survMin && ids(0) <= survMax) {
+              var hit = false
+              var j = 0
+              while (j < ids.length && !hit) {
+                val id = ids(j)
+                hit = id >= survMin && id <= survMax &&
+                  java.util.Arrays.binarySearch(survivors, id) >= 0
+                j += 1
+              }
+              if (hit) {
+                val tfs = Varbyte.decodeInts(blk.tfs_vb, blk.n)
+                decodedCache.put((st.term, idx), (ids, tfs))
+                var p = 0
+                while (p < ids.length) {
+                  val id = ids(p)
+                  if (id >= survMin && id <= survMax &&
+                      java.util.Arrays.binarySearch(survivors, id) >= 0)
+                    acc.add(id, contribution(st.idf, tfs(p), dlOf(id)))
+                  p += 1
+                }
+              }
+            }
           }
         }
         si += 1
