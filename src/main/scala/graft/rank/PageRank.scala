@@ -182,12 +182,21 @@ object PageRank {
           newState.localCheckpoint(false).persist(StorageLevel.MEMORY_AND_DISK)
         } else newState.persist(StorageLevel.MEMORY_AND_DISK)
 
-      val row = next.agg(
-        count(lit(1)).as("total"),
-        sum(when(abs($"rank" - $"prev") < threshold, 1L).otherwise(0L)).as("achieved")
-      ).head()
-      val total = row.getLong(0)
-      val achieved = row.getLong(1)
+      // convergence scalars ride ACCUMULATORS on the materialization action
+      // instead of a separate aggregation: the old agg appended a partial +
+      // single-partition-final exchange pair to every round's job (~2 of its
+      // ~5 AQE stages for pure scheduling). foreach is an action, so
+      // accumulator updates are exactly-once per successful task; the
+      // per-row predicate is the same IEEE |rank − prev| < threshold.
+      val totalAcc = spark.sparkContext.longAccumulator
+      val achievedAcc = spark.sparkContext.longAccumulator
+      val th = threshold
+      next.toDF().select($"rank", $"prev").foreach { r =>
+        totalAcc.add(1L)
+        if (math.abs(r.getDouble(0) - r.getDouble(1)) < th) achievedAcc.add(1L)
+      }
+      val total = totalAcc.value
+      val achieved = achievedAcc.value
       preCheckpointCache.foreach(_.unpersist())
       if (ownState) state.unpersist()
       state = next
