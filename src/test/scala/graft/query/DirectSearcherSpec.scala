@@ -81,8 +81,13 @@ class DirectSearcherSpec extends AnyFunSuite {
     assert(perQuery > 0, "expected some bytes read")
     assert(perQuery < total / 10,
       s"query read $perQuery of $total index bytes — not a point lookup")
-    // lazy block fetch: the 200-capped reference scan of a HEAD term must
-    // read far fewer block bytes than BM25, which genuinely needs them all.
+    // lazy block fetch: BOTH scorers' head-term reads must stay point-
+    // lookup-sized. The reference walk is 200-capped; BM25's block-max stop
+    // rule plus the single-term finish-pass skip (a doc holds at most one
+    // posting per term, so accumulated single-term scores are already
+    // exact) means it no longer touches a head term's tail blocks either —
+    // the old assertion here (ref ≪ bm25, "bm25 genuinely needs them all")
+    // pinned exactly the inefficiency the finish-skip removed.
     // n=300000 (the reference's production constant) keeps the head term's
     // idf nonzero so the capped walk actually runs.
     val big300k = DirectSearcher.open(bigDir, 300000)
@@ -90,11 +95,14 @@ class DirectSearcherSpec extends AnyFunSuite {
     val refHits = big300k.referenceTopK("the")
     val refBytes = big300k.bytesRead.get() - b0
     assert(refHits.nonEmpty, "head term must rank docs at n=300000")
+    assert(refBytes < total / 10,
+      s"head-term ref scan read $refBytes of $total — lazy fetch not pruning")
     val b1 = big300k.bytesRead.get()
-    big300k.bm25TopK("the", 10)
+    val bmHits = big300k.bm25TopK("the", 10)
     val bm25Bytes = big300k.bytesRead.get() - b1
-    assert(refBytes * 3 < bm25Bytes,
-      s"head-term ref scan read $refBytes vs bm25 $bm25Bytes — lazy fetch not pruning")
+    assert(bmHits.nonEmpty, "head term must rank docs under bm25")
+    assert(bm25Bytes < total / 10,
+      s"single-term head bm25 read $bm25Bytes of $total — stop rule + finish-skip not bounding the read")
   }
 
   test("empty corpus round-trips: write, open, and queries degrade to Nil") {
