@@ -25,9 +25,15 @@ object Retention {
   def weekly(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // unix_micros over a cast absorbs TIMESTAMP_NTZ inputs (interpreted in
     // the session timezone — UTC under the driver contract), then pure
-    // integer division: 604800000000 µs per epoch week
+    // integer FLOOR division: 604800000000 µs per epoch week. Spark `div`
+    // truncates toward zero while the oracle's DuckDB `//` floors — they
+    // agree on nonnegative epochs but diverge on pre-1970 timestamps
+    // (ADVICE r5), so the floor is built explicitly from div + a negative-
+    // remainder adjustment (identical on all nonnegative inputs).
     val weeks = events.select(col(userCol).as("u"),
-        expr(s"unix_micros(cast($tsCol as timestamp)) div 604800000000")
+        expr(s"""(unix_micros(cast($tsCol as timestamp)) div 604800000000)
+                 - (case when unix_micros(cast($tsCol as timestamp)) % 604800000000 < 0
+                    then 1 else 0 end)""")
           .as("week"))
       .distinct()
     val firsts = weeks.groupBy(col("u")).agg(min(col("week")).as("cohort"))

@@ -75,9 +75,16 @@ object Mmr {
             }
           }
         }
-        out += ((qid, pos, bestDoc, math.rint(bestScore * 1e6) / 1e6))
-        picked += bestDoc
-        pos += 1
+        // every unpicked candidate scoring NaN (NaN rel reaching the public
+        // API) fails both comparisons and leaves bestDoc = -1 — emitting a
+        // phantom doc_id=-1 row; stop instead (ADVICE r5; unreachable from
+        // the q146 driver query, which filters NaN rel upstream)
+        if (bestDoc == -1L) { pos = k + 1 }
+        else {
+          out += ((qid, pos, bestDoc, math.rint(bestScore * 1e6) / 1e6))
+          picked += bestDoc
+          pos += 1
+        }
       }
       out.iterator
     }.toDF("query_id", "pos", "doc_id", "mmr")
