@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: positions ride POSEXPLODE of the same codegen'd sliding
   * n-gram expression the decontamination op uses; the corpus-frequency
-  * count is one map-side-combined groupBy on the gram; the hit join
-  * returns only (doc_id, pos) rows (rare by construction — corpus text
-  * never shuffles); and overlapping hits merge into maximal spans with the
-  * gaps-and-islands window (all intervals share length n, so "overlaps or
-  * touches the previous" is exactly `pos − lag(pos) ≤ n` — no running-max
-  * needed).
+  * count is ONE window over the gram key (the gram table — and its
+  * tokenize, the dominant per-row cost — derives once, one gram-keyed
+  * exchange instead of the former groupBy + semi-join pair), keeping only
+  * (doc_id, pos) rows past the threshold (rare by construction — corpus
+  * text never shuffles); and overlapping hits merge into maximal spans
+  * with the gaps-and-islands window (all intervals share length n, so
+  * "overlaps or touches the previous" is exactly `pos − lag(pos) ≤ n` —
+  * no running-max needed).
   *
   * `hashedGrams` (the at-scale key mode): the gram-count aggregation and
   * the hit semi-join key on `xxhash64(gram)` — 8-byte shuffle keys instead
@@ -54,7 +56,10 @@ object DupSpans {
     val rawGrams = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(wordGramsWithPos(col(textCol), n)).as(Seq("pos", "gram")))
     // hashed mode: the gram string never leaves the map side — only the
-    // 8-byte key enters the count shuffle and the semi-join
+    // 8-byte key enters the count shuffle. (A string-free xxhash64-chain
+    // over per-token hashes was tried and measured no faster on this
+    // corpus: the higher-order-function chain costs about what the string
+    // build + single hash does, for more code.)
     val grams =
       if (hashedGrams) rawGrams.select(col("doc_id"), col("pos"),
         xxhash64(col("gram")).as("gram"))
