@@ -50,6 +50,10 @@ object SparkEntry {
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
+      // (tmpfs checkpointLocation was tried for the replay state stores and
+      // measured no faster — micro-batch scheduling, not checkpoint IO,
+      // dominates these replays — and explicit checkpoint dirs escape
+      // Spark's temp-dir auto-cleanup; the default temp location stays)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
