@@ -357,39 +357,52 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // LAZY truncation: each round's checkpoint is materialized by the
+    // change-count foreach below, so the round runs ONE job instead of two
+    // (the old shape ran an eager checkpoint job, then a join-based change
+    // count re-reading both rounds)
+    def truncateLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false) else df.localCheckpoint(false)
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val edges = pairs.select(a.as("x"), b.as("y"))
     val sym = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var comp = truncate(sym.select(col("x").as("id")).distinct()
+    var ck = truncateLazy(sym.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id")))
+    ck.count() // materialize round 0
+    var comp = ck
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(comp, sym("y") === comp("id"))
         .groupBy(sym("x").as("nid")).agg(min(col("comp")).as("nmin"))
+      // the OLD label rides along as `ocomp`, so convergence is a per-row
+      // compare on the materialization pass — no join of two rounds
       val stepped = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("ocomp"))
       // pointer jumping: comp values are themselves node ids, so one
       // self-join halves the remaining path length every round
-      val jumped = truncate(stepped.as("s")
+      val nextCk = truncateLazy(stepped.as("s")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("s.comp") === col("cid"), "left")
-        .select(col("s.id").as("id"), coalesce(col("ccomp"), col("s.comp")).as("comp")))
-      val changed = jumped.as("n")
-        .join(comp.select(col("id").as("oid"), col("comp").as("ocomp")),
-          col("n.id") === col("oid"))
-        .filter(col("n.comp") =!= col("ocomp")).count()
-      // the superseded round's checkpoint is dead once `changed` is
-      // computed — drop it NOW (PageRank.run's per-round discipline), not
-      // when the ContextCleaner eventually notices
-      comp.unpersist()
-      comp = jumped
-      converged = changed == 0
+        .select(col("s.id").as("id"), coalesce(col("ccomp"), col("s.comp")).as("comp"),
+          col("s.ocomp").as("ocomp")))
+      val changedAcc = spark.sparkContext.longAccumulator
+      // the foreach action materializes the lazy checkpoint AND counts
+      // label changes (exactly-once per successful task)
+      nextCk.select(col("comp"), col("ocomp")).foreach { r =>
+        if (r.getLong(0) != r.getLong(1)) changedAcc.add(1L)
+      }
+      // the superseded round's checkpoint is dead once the new one is
+      // materialized — drop it NOW (PageRank.run's per-round discipline),
+      // not when the ContextCleaner eventually notices
+      ck.unpersist()
+      ck = nextCk
+      comp = nextCk.select(col("id"), col("comp"))
+      converged = changedAcc.value == 0
       iter += 1
     }
     sym.unpersist()
