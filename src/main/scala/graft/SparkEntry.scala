@@ -2543,8 +2543,13 @@ object SparkEntry {
       val bNew = graft.ml.Dedup.minhashBands(incoming, "doc_id", "text")
       dumpAux(bOld, "q128_bands_old")
       dumpAux(bNew, "q128_bands_new")
+      // verdicts ride the BATCH frame (one row per incoming row): the
+      // oracle's final select is FROM inc, and at sf0.1 the fixture's
+      // +1000 re-crawl ids collide with real ids, so the old
+      // distinct-ids output under-emitted 20 duplicate rows there
       graft.ml.Dedup.incrementalVerdicts(existing.unionByName(incoming),
-        bOld, bNew, "doc_id", "text", threshold = 0.8)
+        bOld, bNew, "doc_id", "text", threshold = 0.8,
+        incomingIds = Some(incoming.select(col("doc_id"))))
     }),
 
     // ---- HLL sketch rollup: per-day register tables merged to one

@@ -150,10 +150,19 @@ object Dedup {
     * band sets (a bucket quadratic across old×new is as degenerate as one
     * within either); candidate shuffles carry (id, bucket) only; text is
     * joined back for verified candidates alone. */
+  /** `incomingIds`: the batch's id FRAME to emit verdicts over — one output
+    * row per input row, mirroring whatever multiplicity the caller's batch
+    * has (a batch that violates the unique-id precondition gets its
+    * duplicate rows back with their shared verdict, exactly as a SQL
+    * replay over the batch table would). Default: the distinct ids of
+    * `bandsIncoming` (the historical behavior — found to under-emit by 20
+    * rows at sf0.1, where q128's +1000 re-crawl ids collide with real
+    * ids). */
   def incrementalVerdicts(texts: DataFrame, bandsExisting: DataFrame,
                           bandsIncoming: DataFrame, idCol: String,
                           textCol: String, threshold: Double = 0.8,
-                          k: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                          k: Int = 3, maxBucket: Int = 1000,
+                          incomingIds: Option[DataFrame] = None): DataFrame = {
     def side(bands: DataFrame, s: Int) =
       bands.select(col(idCol), col("band"), col("band_hash"))
         .withColumn("side", lit(s))
@@ -174,7 +183,8 @@ object Dedup {
       .select(col("id1").as(idCol)).distinct().withColumn("ce", lit(1))
     val intraHit = jaccardVerify(texts, intra, idCol, textCol, k, threshold)
       .select(col("id2").as(idCol)).distinct().withColumn("ie", lit(1))
-    bandsIncoming.select(col(idCol)).distinct()
+    incomingIds.map(_.select(col(idCol)))
+      .getOrElse(bandsIncoming.select(col(idCol)).distinct())
       .join(crossHit, Seq(idCol), "left")
       .join(intraHit, Seq(idCol), "left")
       .select(col(idCol),

@@ -51,4 +51,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(got == Map(10L -> "kept"))
   }
+
+  test("incomingIds frame drives output multiplicity (duplicate batch ids)") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val existing = Seq((1L, t1)).toDF("doc_id", "text")
+    // id 10 appears TWICE in the batch (an id collision, like q128's
+    // +1000 re-crawl aliases at sf0.1): verdicts must come back one per
+    // input ROW, both carrying the id's shared verdict
+    val incoming = Seq(
+      (10L, t1),
+      (10L, "totally different content that matches nothing at all"),
+      (11L, "unrelated words entirely novel text here")).toDF("doc_id", "text")
+    val texts = existing.unionByName(incoming)
+    val got = Dedup.incrementalVerdicts(texts,
+        Dedup.minhashBands(existing, "doc_id", "text"),
+        Dedup.minhashBands(incoming, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.8,
+        incomingIds = Some(incoming.select(org.apache.spark.sql.functions.col("doc_id"))))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq(10L -> "dup_existing", 10L -> "dup_existing", 11L -> "kept"),
+      got.toString)
+  }
 }
